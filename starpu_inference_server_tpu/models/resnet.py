@@ -1,0 +1,198 @@
+"""ResNet / ResNeXt / WideResNet family, functional JAX, NHWC.
+
+Parity surface: the 9 torchvision variants the reference exports to
+TorchScript (reference: models/import_resnet.py lines 26-34 — resnet18/
+34/50/101/152, resnext50_32x4d, resnext101_32x8d, wide_resnet50_2,
+wide_resnet101_2). Architecture follows the public ResNet recipe
+(conv7x7/2 + maxpool3x3/2, four stages, basic or bottleneck residual
+blocks, global average pool, fc to 1000 classes).
+
+TPU notes: NHWC layout end-to-end (the wire keeps the reference's NCHW
+sample dims [3,224,224]; we transpose once on entry). BatchNorm params
+are compile-time constants so XLA folds them into the convs. All convs
+accumulate in f32 on the MXU via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..utils.config import TensorSpec
+from .registry import ModelDefinition, register_family
+
+NUM_CLASSES = 1000
+
+# variant -> (block kind, stage depths, groups, width_per_group)
+_VARIANTS = {
+    "resnet18": ("basic", (2, 2, 2, 2), 1, 64),
+    "resnet34": ("basic", (3, 4, 6, 3), 1, 64),
+    "resnet50": ("bottleneck", (3, 4, 6, 3), 1, 64),
+    "resnet101": ("bottleneck", (3, 4, 23, 3), 1, 64),
+    "resnet152": ("bottleneck", (3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 32, 8),
+    "wide_resnet50_2": ("bottleneck", (3, 4, 6, 3), 1, 128),
+    "wide_resnet101_2": ("bottleneck", (3, 4, 23, 3), 1, 128),
+}
+
+_STAGE_PLANES = (64, 128, 256, 512)
+
+
+def _conv_init(rng: np.random.Generator, kh, kw, cin, cout) -> Dict[str, Any]:
+    fan_in = kh * kw * cin
+    std = math.sqrt(2.0 / fan_in)
+    return {"w": (rng.standard_normal((kh, kw, cin, cout)) * std).astype(np.float32)}
+
+
+def _bn_init(rng: np.random.Generator, c) -> Dict[str, Any]:
+    return {
+        "gamma": np.ones((c,), np.float32),
+        "beta": np.zeros((c,), np.float32),
+        "mean": np.zeros((c,), np.float32),
+        "var": np.ones((c,), np.float32),
+    }
+
+
+def _fc_init(rng: np.random.Generator, cin, cout) -> Dict[str, Any]:
+    bound = 1.0 / math.sqrt(cin)
+    return {
+        "w": rng.uniform(-bound, bound, (cin, cout)).astype(np.float32),
+        "b": rng.uniform(-bound, bound, (cout,)).astype(np.float32),
+    }
+
+
+def _init_basic_block(rng, cin, planes, stride) -> Dict[str, Any]:
+    block = {
+        "conv1": _conv_init(rng, 3, 3, cin, planes),
+        "bn1": _bn_init(rng, planes),
+        "conv2": _conv_init(rng, 3, 3, planes, planes),
+        "bn2": _bn_init(rng, planes),
+    }
+    if stride != 1 or cin != planes:
+        block["downsample"] = {
+            "conv": _conv_init(rng, 1, 1, cin, planes),
+            "bn": _bn_init(rng, planes),
+        }
+    return block
+
+
+def _init_bottleneck_block(rng, cin, planes, stride, groups, width_per_group):
+    width = int(planes * (width_per_group / 64.0)) * groups
+    cout = planes * 4
+    block = {
+        "conv1": _conv_init(rng, 1, 1, cin, width),
+        "bn1": _bn_init(rng, width),
+        "conv2": _conv_init(rng, 3, 3, width // groups, width),
+        "bn2": _bn_init(rng, width),
+        "conv3": _conv_init(rng, 1, 1, width, cout),
+        "bn3": _bn_init(rng, cout),
+    }
+    if stride != 1 or cin != cout:
+        block["downsample"] = {
+            "conv": _conv_init(rng, 1, 1, cin, cout),
+            "bn": _bn_init(rng, cout),
+        }
+    return block
+
+
+def _apply_basic_block(p, x, stride, dtype):
+    identity = x
+    out = nn.conv2d(p["conv1"], x, stride=stride, padding=1, dtype=dtype)
+    out = nn.batch_norm_inference(p["bn1"], out)
+    out = jnp.maximum(out, 0)
+    out = nn.conv2d(p["conv2"], out, stride=1, padding=1, dtype=dtype)
+    out = nn.batch_norm_inference(p["bn2"], out)
+    if "downsample" in p:
+        identity = nn.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0, dtype=dtype)
+        identity = nn.batch_norm_inference(p["downsample"]["bn"], identity)
+    return jnp.maximum(out + identity, 0)
+
+
+def _apply_bottleneck_block(p, x, stride, groups, dtype):
+    identity = x
+    out = nn.conv2d(p["conv1"], x, stride=1, padding=0, dtype=dtype)
+    out = nn.batch_norm_inference(p["bn1"], out)
+    out = jnp.maximum(out, 0)
+    out = nn.conv2d(p["conv2"], out, stride=stride, padding=1, groups=groups, dtype=dtype)
+    out = nn.batch_norm_inference(p["bn2"], out)
+    out = jnp.maximum(out, 0)
+    out = nn.conv2d(p["conv3"], out, stride=1, padding=0, dtype=dtype)
+    out = nn.batch_norm_inference(p["bn3"], out)
+    if "downsample" in p:
+        identity = nn.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0, dtype=dtype)
+        identity = nn.batch_norm_inference(p["downsample"]["bn"], identity)
+    return jnp.maximum(out + identity, 0)
+
+
+def _build_resnet(variant: str, options) -> ModelDefinition:
+    kind, depths, groups, width_per_group = _VARIANTS[variant]
+    expansion = 1 if kind == "basic" else 4
+    image = int(options.get("image_size", 224))
+    num_classes = int(options.get("num_classes", NUM_CLASSES))
+
+    def init_params(rng: np.random.Generator):
+        params: Dict[str, Any] = {
+            "conv1": _conv_init(rng, 7, 7, 3, 64),
+            "bn1": _bn_init(rng, 64),
+        }
+        cin = 64
+        for stage, (planes, depth) in enumerate(zip(_STAGE_PLANES, depths), start=1):
+            blocks: List[Dict[str, Any]] = []
+            for i in range(depth):
+                stride = 2 if (stage > 1 and i == 0) else 1
+                if kind == "basic":
+                    blocks.append(_init_basic_block(rng, cin, planes, stride))
+                    cin = planes
+                else:
+                    blocks.append(
+                        _init_bottleneck_block(
+                            rng, cin, planes, stride, groups, width_per_group
+                        )
+                    )
+                    cin = planes * 4
+            params[f"layer{stage}"] = blocks
+        params["fc"] = _fc_init(rng, 512 * expansion, num_classes)
+        return params
+
+    def apply(params, inputs, dtype):
+        x = inputs["input"]
+        # wire layout is the reference's NCHW; flip once to TPU-native NHWC
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+        x = nn.conv2d(params["conv1"], x, stride=2, padding=3, dtype=dtype)
+        x = nn.batch_norm_inference(params["bn1"], x)
+        x = jnp.maximum(x, 0)
+        x = nn.max_pool(x, window=3, stride=2, padding=[(1, 1), (1, 1)])
+        for stage, depth in enumerate(depths, start=1):
+            for i in range(depth):
+                stride = 2 if (stage > 1 and i == 0) else 1
+                p = params[f"layer{stage}"][i]
+                if kind == "basic":
+                    x = _apply_basic_block(p, x, stride, dtype)
+                else:
+                    x = _apply_bottleneck_block(p, x, stride, groups, dtype)
+        x = nn.global_avg_pool(x)
+        logits = nn.dense(params["fc"], x, dtype)
+        return {"output": logits.astype(jnp.float32)}
+
+    return ModelDefinition(
+        family=variant,
+        init_params=init_params,
+        apply=apply,
+        input_specs=(TensorSpec("input", (3, image, image), "FP32"),),
+        output_specs=(TensorSpec("output", (num_classes,), "FP32"),),
+    )
+
+
+def _register_all():
+    for variant in _VARIANTS:
+        register_family(variant)(
+            lambda options, _v=variant: _build_resnet(_v, options)
+        )
+
+
+_register_all()

@@ -1,0 +1,186 @@
+"""Functional NN layers, quantization-aware, TPU-shaped.
+
+Design rules (see /opt/skills/guides/pallas_guide.md):
+- matmuls/convs always pass ``preferred_element_type=float32`` so the MXU
+  accumulates in f32 regardless of bf16/int8 operands;
+- image tensors are NHWC internally (TPU-native conv layout); the wire
+  protocol keeps the reference's NCHW sample dims and the model adapters
+  transpose once at the edge;
+- weights may be dense arrays or quantized dicts produced by
+  ``ops.quant.maybe_quantize_tree``; every consumer handles both, so a
+  model definition is written once and served at FP32/BF16/INT8/INT4.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .quant import dequantize, is_quantized_leaf
+
+# Toggled by the engine when running on real TPU; tests exercise both.
+_USE_PALLAS = False
+
+
+def set_use_pallas(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = bool(enabled)
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS
+
+
+def resolve_weight(w, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize a (possibly quantized) weight at compute dtype."""
+    if is_quantized_leaf(w):
+        return dequantize(w["w_q"], w["scale"], dtype=dtype)
+    return w.astype(dtype)
+
+
+def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """y = x @ w + b. ``p`` = {'w': [in,out] (dense or quantized), 'b'?}.
+
+    On TPU with a quantized weight the fused dequant-matmul Pallas kernel
+    is used for 2D activations; otherwise XLA gets a dequant+dot it can
+    fuse itself.
+    """
+    w = p["w"]
+    if is_quantized_leaf(w) and _USE_PALLAS and x.ndim == 2:
+        from .pallas_kernels import int8_matmul
+
+        y = int8_matmul(x.astype(dtype), w["w_q"], w["scale"])
+    else:
+        wm = resolve_weight(w, dtype)
+        y = jax.lax.dot_general(
+            x.astype(dtype),
+            wm,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv2d(
+    p,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding="SAME",
+    groups: int = 1,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """NHWC conv. ``p`` = {'w': [kh,kw,in/groups,out], 'b'?}."""
+    w = resolve_weight(p["w"], dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def batch_norm_inference(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode batchnorm over the channel (last) axis.
+
+    gamma/beta/mean/var are constants under jit, so XLA folds
+    ``gamma*rsqrt(var+eps)`` and fuses the affine into the preceding conv.
+    """
+    scale = p["gamma"].astype(jnp.float32) * jax.lax.rsqrt(
+        p["var"].astype(jnp.float32) + eps
+    )
+    shift = p["beta"].astype(jnp.float32) - p["mean"].astype(jnp.float32) * scale
+    return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+
+
+def layer_norm(p, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * p["gamma"].astype(jnp.float32) + p["beta"].astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def embedding(p, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Token embedding lookup. ``p`` = {'w': [vocab, dim]} (kept dense —
+    gathers don't benefit from weight-only quant on the MXU)."""
+    w = p["w"]
+    if is_quantized_leaf(w):
+        w = dequantize(w["w_q"], w["scale"], dtype=dtype)
+    return jnp.take(w.astype(dtype), ids, axis=0)
+
+
+def _attention(q, k, v, mask, num_heads: int, dtype) -> jnp.ndarray:
+    b, s, d = q.shape
+    head_dim = d // num_heads
+
+    def split(t):
+        return t.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(head_dim))
+    if mask is not None:
+        # mask: [b, s] (1 = attend) or [b, 1, q, k]
+        if mask.ndim == 2:
+            mask = mask[:, None, None, :]
+        logits = jnp.where(mask.astype(bool), logits, jnp.float32(-1e9))
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(dtype)
+
+
+def multi_head_attention(
+    p,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_heads: int,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Standard post-LN transformer MHA block body (projections +
+    scaled-dot-product attention + output projection).
+
+    ``p`` = {'q','k','v','o'} each a dense-layer param dict.
+    """
+    q = dense(p["q"], x, dtype)
+    k = dense(p["k"], x, dtype)
+    v = dense(p["v"], x, dtype)
+    out = _attention(q, k, v, mask, num_heads, dtype)
+    return dense(p["o"], out, dtype)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.ndarray:
+    if isinstance(padding, (list, tuple)):
+        # spatial pads -> full NHWC pads
+        padding = ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0))
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        padding,
+    )
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,C]."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)

@@ -1,0 +1,125 @@
+"""Weight-only quantization: INT8 / INT4 per-channel symmetric.
+
+No reference counterpart (the reference serves FP32 TorchScript only);
+this implements the BASELINE.json requirement of INT8 weight-only
+(INT4 optional) with accuracy within 0.5% top-1 / 0.1 F1 of FP32.
+
+Scheme: symmetric per-output-channel scales,
+    w ~= w_q.astype(f32) * scale        (int8: w_q in [-127, 127])
+INT4 values live in [-7, 7] and are kept in an int8 carrier array here;
+the packed-nibble HBM format belongs to the Pallas kernel layer
+(ops/pallas_kernels.py), which unpacks in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def quantize_per_channel(
+    w: jnp.ndarray, bits: int = 8, axis: int = -1
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize ``w`` symmetrically per channel along ``axis``.
+
+    Returns (w_q int8, scale f32) with scale shaped like w reduced over
+    all axes except ``axis``.
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = 127.0 if bits == 8 else 7.0
+    w = w.astype(jnp.float32)
+    reduce_axes = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    absmax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+    w_q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def dequantize(
+    w_q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Reference (non-Pallas) dequant; XLA fuses the multiply into the
+    consumer where possible."""
+    return (w_q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
+    """Pack an int4-valued int8 array pairwise along the first axis into
+    one uint8 per two values (low nibble = even row, high = odd row)."""
+    if w_q.shape[0] % 2 != 0:
+        raise ValueError("int4 packing requires an even leading dim")
+    lo = (w_q[0::2] & 0x0F).astype(jnp.uint8)
+    hi = (w_q[1::2] & 0x0F).astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4`; returns sign-extended int8 values."""
+
+    def sext(nib):
+        nib = nib.astype(jnp.int8)
+        return jnp.where(nib >= 8, nib - 16, nib)
+
+    lo = sext(packed & 0x0F)
+    hi = sext((packed >> 4) & 0x0F)
+    out = jnp.empty((packed.shape[0] * 2, *packed.shape[1:]), dtype=jnp.int8)
+    out = out.at[0::2].set(lo)
+    out = out.at[1::2].set(hi)
+    return out
+
+
+def quantization_error(w: jnp.ndarray, bits: int = 8, axis: int = -1) -> float:
+    """Relative L2 error of the quantize/dequantize roundtrip (accuracy
+    harness helper)."""
+    w_q, scale = quantize_per_channel(w, bits=bits, axis=axis)
+    w_hat = dequantize(w_q, scale, dtype=jnp.float32)
+    num = jnp.linalg.norm(w.astype(jnp.float32) - w_hat)
+    den = jnp.linalg.norm(w.astype(jnp.float32)) + 1e-12
+    return float(num / den)
+
+
+class QuantizedTensor:
+    """A quantized weight + its scale, behaving as one pytree leaf pair."""
+
+    __slots__ = ("w_q", "scale", "bits")
+
+    def __init__(self, w_q: jnp.ndarray, scale: jnp.ndarray, bits: int = 8):
+        self.w_q = w_q
+        self.scale = scale
+        self.bits = bits
+
+
+def maybe_quantize_tree(params, bits: Optional[int], axis: int = -1):
+    """Quantize every float array named 'w' / 'kernel' in a nested dict
+    tree, leaving biases/norm parameters in float. Returns a new tree
+    where quantized leaves become {'w_q':..., 'scale':..., 'bits':...}.
+    """
+    if bits is None:
+        return params
+
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for key, value in node.items():
+                if (
+                    key in ("w", "kernel")
+                    and hasattr(value, "dtype")
+                    and jnp.issubdtype(value.dtype, jnp.floating)
+                    and value.ndim >= 2
+                ):
+                    w_q, scale = quantize_per_channel(value, bits=bits, axis=axis)
+                    out[key] = {"w_q": w_q, "scale": scale, "bits": bits}
+                else:
+                    out[key] = rec(value)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(params)
+
+
+def is_quantized_leaf(node) -> bool:
+    return isinstance(node, dict) and "w_q" in node and "scale" in node

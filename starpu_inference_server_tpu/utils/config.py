@@ -131,12 +131,17 @@ class FixedBatchingSettings:
 @dataclasses.dataclass(frozen=True)
 class CongestionSettings:
     """EWMA congestion detector knobs
-    (reference: docs/congestion_detection.md:27-196)."""
+    (reference: docs/congestion_detection.md:27-196).
+
+    Note on ``rho_high``: here rho = EWMA(arrival rate)/EWMA(completion
+    rate), so steady balanced load sits at rho ~= 1.0; the entry
+    threshold defaults slightly above 1 (the reference's 0.9 default
+    applies to its capacity-based mu estimate)."""
 
     enabled: bool = True
     tick_interval_ms: float = 100.0
     ewma_alpha: float = 0.3
-    rho_high: float = 0.9
+    rho_high: float = 1.1
     fill_high: float = 0.7
     latency_slo_ms: float = 150.0
     slo_entry_fraction: float = 0.9
@@ -406,7 +411,7 @@ def _parse_congestion(raw: Any) -> CongestionSettings:
             "congestion.tick_interval_ms", raw.get("tick_interval_ms", 100.0)
         ),
         ewma_alpha=_as_fraction("congestion.ewma_alpha", raw.get("ewma_alpha", 0.3)),
-        rho_high=_as_fraction("congestion.rho_high", raw.get("rho_high", 0.9)),
+        rho_high=_as_nonneg_number("congestion.rho_high", raw.get("rho_high", 1.1)),
         fill_high=_as_fraction("congestion.fill_high", raw.get("fill_high", 0.7)),
         latency_slo_ms=_as_nonneg_number(
             "congestion.latency_slo_ms", raw.get("latency_slo_ms", 150.0)
