@@ -1,0 +1,187 @@
+"""Server bootstrap: config -> engine -> warmup -> pipeline -> gRPC.
+
+Reference counterpart: src/grpc/server/server_main.cpp + the five
+server_main_*.hpp runtime headers. Lifecycle preserved:
+
+  parse --config (the only flag)            server_main_bootstrap.hpp:48-104
+  build observability (tracer + metrics)    server_main.cpp:234-245
+  build engine (the StarPUSetup analogue)
+  load model + warmup                       server_main_bootstrap.hpp:169-209
+  create bounded queue
+  start pipeline + congestion monitor + gRPC server
+  on SIGINT/SIGTERM: close queue for push -> stop accepting -> drain
+  until completed >= pushed (30 s timeout) -> stop monitor -> flush
+  traces                                     server_main_shutdown_runtime.hpp:254-290
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import signal
+from typing import Optional
+
+import grpc
+
+from ..core.engine import ModelEngine
+from ..models import build_model
+from ..monitoring.congestion import CongestionMonitor
+from ..monitoring.observability import RuntimeObservability, create_observability
+from ..serving.queue import InferenceQueue
+from ..serving.runner import TaskRunner
+from ..utils.clock import StopWatch
+from ..utils.config import RuntimeConfig, apply_xla_env, load_config
+from ..utils.logger import get_logger, set_global_verbosity
+from .service import InferenceServicer, add_inference_service
+
+
+class InferenceServer:
+    """Owns the whole serving stack for one model (the reference serves
+    exactly one model per process; docs/server_guide.md:74)."""
+
+    def __init__(
+        self,
+        cfg: RuntimeConfig,
+        observability: Optional[RuntimeObservability] = None,
+        expose_metrics: bool = True,
+    ):
+        self.cfg = cfg
+        log = get_logger()
+        set_global_verbosity(cfg.verbosity)
+        apply_xla_env(cfg)
+
+        self.observability = (
+            observability
+            if observability is not None
+            else create_observability(cfg, expose_metrics=expose_metrics)
+        )
+
+        watch = StopWatch()
+        model = build_model(cfg.model, seed=cfg.seed)
+        self.engine = ModelEngine(cfg, model)
+        log.info(
+            "model %s built on %d %s device(s) (quant=%s) in %.1f ms",
+            cfg.model.family,
+            self.engine.num_devices(),
+            self.engine.platform,
+            cfg.model.quantization.value,
+            watch.elapsed_ms(),
+        )
+
+        self.queue = InferenceQueue(
+            cfg.max_queue_size, on_size_change=self.observability.on_queue_size
+        )
+        self.congestion = CongestionMonitor(
+            cfg.congestion,
+            queue_probe=lambda: (self.queue.size(), self.queue.capacity),
+            on_state_change=lambda c, s: self.observability.on_congestion_snapshot(s),
+        )
+        self.runner = TaskRunner(
+            cfg,
+            self.engine,
+            self.queue,
+            observability=self.observability,
+            congestion_monitor=self.congestion,
+        )
+        self.servicer = InferenceServicer(
+            cfg,
+            self.queue,
+            observability=self.observability,
+            congestion_monitor=self.congestion,
+        )
+        mrec = getattr(self.observability, "metrics", None)
+        if mrec is not None and hasattr(mrec, "model_load_duration"):
+            mrec.model_load_duration.observe(watch.elapsed_ms())
+            mrec.models_loaded.set(1)
+            mrec.max_inflight.set(cfg.max_inflight_tasks)
+        self._grpc_server: Optional[grpc.aio.Server] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start_pipeline(self, warmup: bool = True) -> None:
+        log = get_logger()
+        if warmup:
+            watch = StopWatch()
+            n = self.runner.warmup()
+            log.info("warmup: %d pinned jobs in %.1f ms", n, watch.elapsed_ms())
+        else:
+            self.runner.start()
+        self.congestion.start()
+        mrec = getattr(self.observability, "metrics", None)
+        if mrec is not None and hasattr(mrec, "start_sampler"):
+            mrec.start_sampler()
+            mrec.server_health.set(1)
+        self.servicer.ready.set()
+
+    async def serve(self, warmup: bool = True, ready_event=None) -> None:
+        log = get_logger()
+        self.start_pipeline(warmup=warmup)
+        server = grpc.aio.server(
+            options=[
+                ("grpc.max_receive_message_length", self.cfg.resolved_max_message_bytes),
+                ("grpc.max_send_message_length", self.cfg.resolved_max_message_bytes),
+            ]
+        )
+        add_inference_service(server, self.servicer)
+        port = server.add_insecure_port(self.cfg.server.address)
+        self.bound_port = port
+        await server.start()
+        self._grpc_server = server
+        log.info("serving %s on %s (port %d)", self.cfg.name,
+                 self.cfg.server.address, port)
+        if ready_event is not None:
+            ready_event.set()
+
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass
+        self._stop_event = stop
+        await stop.wait()
+        await self.shutdown()
+
+    async def shutdown(self) -> None:
+        """reference: run_shutdown_sequence,
+        server_main_shutdown_runtime.hpp:254-290."""
+        log = get_logger()
+        log.info("shutdown: closing queue for push")
+        self.queue.close_for_push()
+        self.servicer.ready.clear()
+        if self._grpc_server is not None:
+            await self._grpc_server.stop(grace=5.0)
+        self.runner.stop(drain=True)
+        self.congestion.stop()
+        mrec = getattr(self.observability, "metrics", None)
+        if mrec is not None and hasattr(mrec, "stop_sampler"):
+            mrec.stop_sampler()
+            mrec.server_health.set(0)
+        self.observability.flush()
+        log.info(
+            "shutdown complete: completed=%d failed=%d",
+            self.runner.dispatcher.completed_jobs,
+            self.runner.dispatcher.failed_jobs,
+        )
+
+    def request_stop(self) -> None:
+        if hasattr(self, "_stop_event"):
+            self._stop_event.set()
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="TPU-native inference server (KServe v2 gRPC)"
+    )
+    # --config is the ONLY flag (reference: server_main_bootstrap.hpp:65-82)
+    parser.add_argument("--config", required=True, help="YAML config file")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config)
+    server = InferenceServer(cfg)
+    asyncio.run(server.serve())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

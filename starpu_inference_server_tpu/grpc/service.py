@@ -1,0 +1,338 @@
+"""The gRPC inference service (asyncio).
+
+Reference counterpart: src/grpc/server/inference_service*.cpp. The
+reference builds a proactor over a completion queue polled by 2-8
+threads (inference_service_async_server.cpp:297-301); the asyncio gRPC
+server is the Python-native equivalent of that event-driven design —
+ModelInfer handlers suspend on an awaitable completion instead of
+holding a thread, and the serving pipeline's completion callback
+resolves the future from the lane thread.
+
+Implemented RPCs (mirroring inference_service_metadata.cpp): ServerLive,
+ServerReady, ModelReady, ServerMetadata, ModelMetadata, ModelConfig,
+ModelStatistics, ModelInfer. Everything else answers UNIMPLEMENTED
+(inference_service_metadata.cpp:293-400).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import time
+from typing import Dict, Optional
+
+import grpc
+import numpy as np
+
+from .. import __version__
+from ..core.job import InferenceJob
+from ..utils.clock import now_s, wall_ms
+from ..utils.config import RuntimeConfig
+from ..utils.exceptions import (
+    CancelledError,
+    InputValidationError,
+    QueueClosedError,
+    QueueFullError,
+    UnsupportedDtypeError,
+)
+from ..utils.logger import get_logger
+from . import kserve_v2_pb2 as pb
+from .io import fill_timing_fields, populate_response, validate_and_convert_inputs
+
+SERVER_NAME = "starpu-inference-server-tpu"
+SERVICE_FULL_NAME = "inference.GRPCInferenceService"
+
+_DTYPE_TO_ENUM = {
+    "BOOL": pb.TYPE_BOOL, "UINT8": pb.TYPE_UINT8, "UINT16": pb.TYPE_UINT16,
+    "UINT32": pb.TYPE_UINT32, "UINT64": pb.TYPE_UINT64, "INT8": pb.TYPE_INT8,
+    "INT16": pb.TYPE_INT16, "INT32": pb.TYPE_INT32, "INT64": pb.TYPE_INT64,
+    "FP16": pb.TYPE_FP16, "FP32": pb.TYPE_FP32, "FP64": pb.TYPE_FP64,
+    "BF16": pb.TYPE_BF16,
+}
+
+
+class _ModelStats:
+    """In-memory per-model statistics aggregates
+    (reference: state structs inference_service.hpp:482-521)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.inference_count = 0
+        self.execution_count = 0
+        self.last_inference_ms = 0
+        self.success_count = 0
+        self.success_ns = 0
+        self.fail_count = 0
+        self.fail_ns = 0
+        self.queue_ns = 0
+        self.infer_ns = 0
+        self.input_ns = 0
+        self.output_ns = 0
+
+    def record_success(self, breakdown: Dict[str, float], batch: int) -> None:
+        ns = lambda ms: int(ms * 1e6)  # noqa: E731
+        with self.lock:
+            self.inference_count += batch
+            self.execution_count += 1
+            self.last_inference_ms = int(time.time() * 1000)
+            self.success_count += 1
+            self.success_ns += ns(breakdown.get("total_ms", 0.0))
+            self.queue_ns += ns(breakdown.get("queue_ms", 0.0))
+            self.infer_ns += ns(breakdown.get("inference_ms", 0.0))
+            self.input_ns += ns(breakdown.get("batch_ms", 0.0))
+            self.output_ns += ns(breakdown.get("callback_ms", 0.0))
+
+    def record_failure(self, total_ms: float) -> None:
+        with self.lock:
+            self.fail_count += 1
+            self.fail_ns += int(total_ms * 1e6)
+
+
+class InferenceServicer:
+    def __init__(
+        self,
+        cfg: RuntimeConfig,
+        queue,
+        observability=None,
+        congestion_monitor=None,
+    ):
+        self.cfg = cfg
+        self.queue = queue
+        self.observability = observability
+        self.congestion = congestion_monitor
+        self.stats = _ModelStats()
+        self.ready = threading.Event()
+        self._log = get_logger()
+
+    # -- liveness / metadata ----------------------------------------------
+
+    async def ServerLive(self, request, context):
+        return pb.ServerLiveResponse(live=True)
+
+    async def ServerReady(self, request, context):
+        return pb.ServerReadyResponse(ready=self.ready.is_set())
+
+    async def ModelReady(self, request, context):
+        known = not request.name or request.name == self.cfg.name
+        return pb.ModelReadyResponse(ready=known and self.ready.is_set())
+
+    async def ServerMetadata(self, request, context):
+        return pb.ServerMetadataResponse(
+            name=SERVER_NAME,
+            version=__version__,
+            extensions=["timing", "statistics", "model_repository(unimplemented)"],
+        )
+
+    async def ModelMetadata(self, request, context):
+        if request.name and request.name != self.cfg.name:
+            await context.abort(
+                grpc.StatusCode.NOT_FOUND, f"unknown model {request.name!r}"
+            )
+        resp = pb.ModelMetadataResponse(
+            name=self.cfg.name, versions=["1"], platform="jax_xla_tpu"
+        )
+        for spec in self.cfg.inputs:
+            resp.inputs.add(name=spec.name, datatype=spec.dtype,
+                            shape=[-1, *spec.dims])
+        for spec in self.cfg.outputs:
+            resp.outputs.add(name=spec.name, datatype=spec.dtype,
+                             shape=[-1, *spec.dims])
+        return resp
+
+    async def ModelConfig(self, request, context):
+        if request.name and request.name != self.cfg.name:
+            await context.abort(
+                grpc.StatusCode.NOT_FOUND, f"unknown model {request.name!r}"
+            )
+        config = pb.ModelConfig(
+            name=self.cfg.name,
+            platform="jax_xla_tpu",
+            max_batch_size=self.cfg.max_batch_size,
+        )
+        for spec in self.cfg.inputs:
+            config.input.add(name=spec.name, data_type=_DTYPE_TO_ENUM[spec.dtype],
+                             dims=list(spec.dims))
+        for spec in self.cfg.outputs:
+            config.output.add(name=spec.name, data_type=_DTYPE_TO_ENUM[spec.dtype],
+                              dims=list(spec.dims))
+        return pb.ModelConfigResponse(config=config)
+
+    async def ModelStatistics(self, request, context):
+        s = self.stats
+        with s.lock:
+            stat = pb.ModelStatistics(
+                name=self.cfg.name,
+                version="1",
+                last_inference=s.last_inference_ms,
+                inference_count=s.inference_count,
+                execution_count=s.execution_count,
+                inference_stats=pb.InferStatistics(
+                    success=pb.StatisticDuration(count=s.success_count, ns=s.success_ns),
+                    fail=pb.StatisticDuration(count=s.fail_count, ns=s.fail_ns),
+                    queue=pb.StatisticDuration(count=s.success_count, ns=s.queue_ns),
+                    compute_input=pb.StatisticDuration(count=s.success_count, ns=s.input_ns),
+                    compute_infer=pb.StatisticDuration(count=s.success_count, ns=s.infer_ns),
+                    compute_output=pb.StatisticDuration(count=s.success_count, ns=s.output_ns),
+                ),
+            )
+        return pb.ModelStatisticsResponse(model_stats=[stat])
+
+    # -- the hot path ------------------------------------------------------
+
+    async def ModelInfer(self, request, context):
+        """reference: HandleModelInferAsyncImpl,
+        inference_service_async.cpp:385-520."""
+        server_receive = wall_ms()
+        obs = self.observability
+        if obs is not None:
+            obs.metrics.requests_total.inc()
+        if self.congestion is not None:
+            self.congestion.record_arrival()
+
+        if request.model_name and request.model_name != self.cfg.name:
+            await context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"unknown model {request.model_name!r}",
+            )
+
+        # preprocess: validate + zero-copy convert
+        t0 = now_s()
+        try:
+            inputs = validate_and_convert_inputs(self.cfg, request)
+        except (InputValidationError, UnsupportedDtypeError) as exc:
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("INVALID_ARGUMENT").inc()
+            await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
+        preprocess_ms = (now_s() - t0) * 1000.0
+        if obs is not None:
+            obs.metrics.preprocess_latency.observe(preprocess_ms)
+
+        # submit: completion resolves an asyncio future from the lane thread
+        loop = asyncio.get_running_loop()
+        future: asyncio.Future = loop.create_future()
+
+        def completion(job, outputs, error):
+            def resolve():
+                if not future.done():
+                    future.set_result((job, outputs, error))
+            loop.call_soon_threadsafe(resolve)
+
+        job = InferenceJob(
+            inputs, request_id=request.id or "", completion=completion
+        )
+
+        # cancellation wiring (reference: AsyncOps::setup_async_cancellation)
+        context.add_done_callback(lambda _ctx: job.cancel())
+
+        job.timing.stamp("enqueued_at")
+        try:
+            self.queue.push(job)
+        except QueueFullError as exc:
+            if self.congestion is not None:
+                self.congestion.record_rejection()
+            if obs is not None:
+                obs.on_rejection(job.request_id)
+                obs.metrics.requests_by_status.labels("RESOURCE_EXHAUSTED").inc()
+            await context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(exc))
+        except QueueClosedError as exc:
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("UNAVAILABLE").inc()
+            await context.abort(grpc.StatusCode.UNAVAILABLE, str(exc))
+        if obs is not None:
+            obs.on_request_enqueued(job, self.queue.size())
+
+        job_done, outputs, error = await future
+
+        if error is not None:
+            self.stats.record_failure(
+                job.latency_breakdown.get("total_ms", 0.0)
+            )
+            if isinstance(error, CancelledError):
+                if obs is not None:
+                    obs.metrics.requests_by_status.labels("CANCELLED").inc()
+                await context.abort(grpc.StatusCode.CANCELLED, "request cancelled")
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("INTERNAL").inc()
+                obs.metrics.record_failure("execute", type(error).__name__)
+            await context.abort(grpc.StatusCode.INTERNAL, str(error))
+
+        # postprocess: serialize outputs + timing fields
+        t1 = now_s()
+        response = populate_response(self.cfg, request, outputs)
+        postprocess_ms = (now_s() - t1) * 1000.0
+        fill_timing_fields(
+            response,
+            job.latency_breakdown,
+            server_receive_ms=server_receive,
+            preprocess_ms=preprocess_ms,
+            postprocess_ms=postprocess_ms,
+        )
+        if obs is not None:
+            obs.metrics.postprocess_latency.observe(postprocess_ms)
+            obs.metrics.requests_by_status.labels("OK").inc()
+        self.stats.record_success(job.latency_breakdown, job.batch_size())
+        return response
+
+
+# ---------------------------------------------------------------------------
+# Hand-written service registration (no grpc_python_plugin in this
+# environment; the descriptor-table approach mirrors the reference's
+# constexpr RPC table, inference_service_async_server.cpp:34-442).
+# ---------------------------------------------------------------------------
+
+_UNARY_RPCS = {
+    "ServerLive": (pb.ServerLiveRequest, pb.ServerLiveResponse),
+    "ServerReady": (pb.ServerReadyRequest, pb.ServerReadyResponse),
+    "ModelReady": (pb.ModelReadyRequest, pb.ModelReadyResponse),
+    "ServerMetadata": (pb.ServerMetadataRequest, pb.ServerMetadataResponse),
+    "ModelMetadata": (pb.ModelMetadataRequest, pb.ModelMetadataResponse),
+    "ModelInfer": (pb.ModelInferRequest, pb.ModelInferResponse),
+    "ModelConfig": (pb.ModelConfigRequest, pb.ModelConfigResponse),
+    "ModelStatistics": (pb.ModelStatisticsRequest, pb.ModelStatisticsResponse),
+    "RepositoryIndex": (pb.RepositoryIndexRequest, pb.RepositoryIndexResponse),
+    "RepositoryModelLoad": (pb.RepositoryModelLoadRequest, pb.RepositoryModelLoadResponse),
+    "RepositoryModelUnload": (pb.RepositoryModelUnloadRequest, pb.RepositoryModelUnloadResponse),
+    "SystemSharedMemoryStatus": (pb.SystemSharedMemoryStatusRequest, pb.SystemSharedMemoryStatusResponse),
+    "SystemSharedMemoryRegister": (pb.SystemSharedMemoryRegisterRequest, pb.SystemSharedMemoryRegisterResponse),
+    "SystemSharedMemoryUnregister": (pb.SystemSharedMemoryUnregisterRequest, pb.SystemSharedMemoryUnregisterResponse),
+    "CudaSharedMemoryStatus": (pb.CudaSharedMemoryStatusRequest, pb.CudaSharedMemoryStatusResponse),
+    "CudaSharedMemoryRegister": (pb.CudaSharedMemoryRegisterRequest, pb.CudaSharedMemoryRegisterResponse),
+    "CudaSharedMemoryUnregister": (pb.CudaSharedMemoryUnregisterRequest, pb.CudaSharedMemoryUnregisterResponse),
+    "TraceSetting": (pb.TraceSettingRequest, pb.TraceSettingResponse),
+    "LogSettings": (pb.LogSettingsRequest, pb.LogSettingsResponse),
+}
+
+
+def _unimplemented(name: str):
+    async def handler(request, context):
+        await context.abort(
+            grpc.StatusCode.UNIMPLEMENTED, f"{name} is not implemented"
+        )
+
+    return handler
+
+
+def add_inference_service(server: grpc.aio.Server, servicer: InferenceServicer) -> None:
+    handlers = {}
+    for name, (req_cls, resp_cls) in _UNARY_RPCS.items():
+        fn = getattr(servicer, name, None) or _unimplemented(name)
+        handlers[name] = grpc.unary_unary_rpc_method_handler(
+            fn,
+            request_deserializer=req_cls.FromString,
+            response_serializer=resp_cls.SerializeToString,
+        )
+
+    async def stream_unimplemented(request_iterator, context):
+        await context.abort(
+            grpc.StatusCode.UNIMPLEMENTED, "ModelStreamInfer is not implemented"
+        )
+        yield  # pragma: no cover
+
+    handlers["ModelStreamInfer"] = grpc.stream_stream_rpc_method_handler(
+        stream_unimplemented,
+        request_deserializer=pb.ModelInferRequest.FromString,
+        response_serializer=pb.ModelStreamInferResponse.SerializeToString,
+    )
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler(SERVICE_FULL_NAME, handlers),)
+    )

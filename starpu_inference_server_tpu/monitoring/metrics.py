@@ -285,7 +285,7 @@ class NullMetricsRecorder:
 
 class _NullMetric:
     def __call__(self, *a, **k):
-        return None
+        return self  # chainable: .labels(...).inc() etc.
 
     def __getattr__(self, name):
         return _null_call
