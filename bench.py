@@ -1,0 +1,109 @@
+"""Benchmark: ResNet-18 INT8 images/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the INT8-vs-FP32-weights speedup on the same chip (the
+reference publishes no absolute numbers — BASELINE.md — so its FP32
+serving path on identical hardware is the honest baseline).
+
+Measurement note: this environment reaches the TPU through a tunnel
+whose dispatch is deferred (block_until_ready does not fence), so the
+bench chains iterations inside one jitted ``lax.fori_loop`` — forcing
+sequential device execution — and times the difference between a long
+and a short chain to cancel the round-trip constant.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128
+SHORT_ITERS = 2
+LONG_ITERS = 22
+
+
+def _make_chain(definition, params, dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(p, x):
+        def body(_, carry):
+            out = definition.apply(p, {"input": carry}, dtype)["output"]
+            # feed a tiny function of the output back into the input so
+            # every iteration depends on the previous one (not foldable)
+            bump = (jnp.tanh(jnp.sum(out)) * 1e-6).astype(carry.dtype)
+            return carry + bump
+        final = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(final)
+
+    return chained
+
+
+def _throughput(quant_mode: str) -> float:
+    import jax
+
+    from starpu_inference_server_tpu.models import build_model
+    from starpu_inference_server_tpu.utils.config import ModelSettings, QuantMode
+
+    model = build_model(
+        ModelSettings(
+            family="resnet18",
+            compute_dtype="BF16",
+            quantization=QuantMode(quant_mode),
+        ),
+        seed=0,
+    )
+    params = jax.device_put(model.params)
+    x = jax.device_put(
+        np.random.default_rng(0)
+        .standard_normal((BATCH, 3, 224, 224))
+        .astype(np.float32)
+    )
+
+    times = {}
+    for iters in (SHORT_ITERS, LONG_ITERS):
+        fn = _make_chain(model.definition, params, model.compute_dtype, iters)
+        float(fn(params, x))  # compile + first run
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(params, x))  # scalar fetch = the only sync point
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+
+    per_iter = (times[LONG_ITERS] - times[SHORT_ITERS]) / (LONG_ITERS - SHORT_ITERS)
+    return BATCH / per_iter
+
+
+def main() -> int:
+    import jax
+
+    platform = jax.devices()[0].platform
+    print(f"# bench on {jax.devices()}", file=sys.stderr)
+
+    int8_ips = _throughput("int8")
+    print(f"# int8: {int8_ips:.1f} img/s", file=sys.stderr)
+    fp32_ips = _throughput("none")
+    print(f"# fp32-weights (bf16 compute): {fp32_ips:.1f} img/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"resnet18_int8_images_per_sec_per_chip[{platform}]",
+                "value": round(int8_ips, 2),
+                "unit": "images/s",
+                "vs_baseline": round(int8_ips / fp32_ips, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

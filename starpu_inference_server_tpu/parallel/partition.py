@@ -1,0 +1,163 @@
+"""Partition rules: param-tree paths -> PartitionSpec for tensor
+parallelism, plus sharded forward construction.
+
+Megatron-style TP layout for transformer blocks:
+
+- column-parallel (shard the OUTPUT feature dim over the ``model`` axis):
+  attention q/k/v projections, FFN fc1 — each device computes its head /
+  hidden slice, no communication needed going in;
+- row-parallel (shard the INPUT feature dim): attention output
+  projection, FFN fc2 — partial sums are combined by one all-reduce per
+  block, which GSPMD inserts automatically from the shardings;
+- embeddings shard the vocab/feature dim; LayerNorm/bias-only params
+  replicate.
+
+Everything else (conv towers, heads) replicates by default — ResNet-class
+models are served data-parallel, transformer families tensor-parallel.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.quant import is_quantized_leaf
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# (path regex, PartitionSpec for the weight leaf). First match wins;
+# paths look like "layers/3/attn/q/w" or "blocks/0/mlp/fc1/b".
+Rules = List[Tuple[str, P]]
+
+_TRANSFORMER_RULES: Rules = [
+    # column-parallel: shard output dim
+    (r".*/attn/[qkv]/w$", P(None, MODEL_AXIS)),
+    (r".*/attn/[qkv]/b$", P(MODEL_AXIS)),
+    (r".*/(ffn|mlp)/fc1/w$", P(None, MODEL_AXIS)),
+    (r".*/(ffn|mlp)/fc1/b$", P(MODEL_AXIS)),
+    # row-parallel: shard input dim (all-reduce after)
+    (r".*/attn/o/w$", P(MODEL_AXIS, None)),
+    (r".*/(ffn|mlp)/fc2/w$", P(MODEL_AXIS, None)),
+    # embeddings: shard the feature dim
+    (r".*embeddings/word/w$", P(None, MODEL_AXIS)),
+    (r".*embeddings/position/w$", P(None, MODEL_AXIS)),
+    (r".*embeddings/token_type/w$", P(None, MODEL_AXIS)),
+    # ViT patch-embed conv: shard output channels
+    (r".*patch_embed/w$", P(None, None, None, MODEL_AXIS)),
+    (r".*pos_embed$", P(None, None, MODEL_AXIS)),
+]
+
+_TRANSFORMER_FAMILIES = re.compile(r"^(bert|vit)")
+
+
+def partition_rules_for(family: str) -> Rules:
+    """Rules for a model family; non-transformer families replicate."""
+    if _TRANSFORMER_FAMILIES.match(family):
+        return _TRANSFORMER_RULES
+    return []
+
+
+def _spec_for_path(path: str, rules: Rules) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()  # replicate
+
+
+def _tree_with_paths(node: Any, prefix: str = ""):
+    """Yield (path, leaf) with quantized dicts treated as single leaves."""
+    if is_quantized_leaf(node):
+        yield prefix, node
+    elif isinstance(node, dict):
+        for key, value in node.items():
+            yield from _tree_with_paths(value, f"{prefix}/{key}" if prefix else key)
+    elif isinstance(node, (list, tuple)):
+        for i, value in enumerate(node):
+            yield from _tree_with_paths(value, f"{prefix}/{i}" if prefix else str(i))
+    elif node is not None:
+        yield prefix, node
+
+
+def _map_with_paths(node: Any, fn, prefix: str = ""):
+    if is_quantized_leaf(node):
+        return fn(prefix, node)
+    if isinstance(node, dict):
+        return {
+            key: _map_with_paths(value, fn, f"{prefix}/{key}" if prefix else key)
+            for key, value in node.items()
+        }
+    if isinstance(node, (list, tuple)):
+        return type(node)(
+            _map_with_paths(value, fn, f"{prefix}/{i}" if prefix else str(i))
+            for i, value in enumerate(node)
+        )
+    if node is None:
+        return None
+    return fn(prefix, node)
+
+
+def _quant_specs(spec: P, leaf) -> Tuple[P, P]:
+    """A quantized leaf {w_q, scale} shards w_q like the dense weight and
+    the per-channel scale along the same (last-dim) axis."""
+    w_spec = spec
+    # scale has shape (1, ..., C): shard only its last axis if the weight
+    # spec shards its last axis
+    last = spec[-1] if len(spec) else None
+    scale_dims = leaf["scale"].ndim
+    scale_spec = P(*([None] * (scale_dims - 1) + [last])) if scale_dims else P()
+    return w_spec, scale_spec
+
+
+def shard_params(params: Any, mesh: Mesh, rules: Rules) -> Any:
+    """device_put every leaf with its NamedSharding; XLA/GSPMD then
+    partitions the jitted computation to follow the data."""
+
+    def place(path: str, leaf):
+        spec = _spec_for_path(path, rules)
+        if is_quantized_leaf(leaf):
+            w_spec, s_spec = _quant_specs(spec, leaf)
+            return {
+                "w_q": jax.device_put(leaf["w_q"], NamedSharding(mesh, w_spec)),
+                "scale": jax.device_put(leaf["scale"], NamedSharding(mesh, s_spec)),
+                "bits": leaf["bits"],
+            }
+        # rank mismatch (e.g. replicate-spec) -> trim/pad the spec
+        nd = getattr(leaf, "ndim", 0)
+        if len(spec) != nd:
+            spec = P(*(list(spec)[:nd] + [None] * max(0, nd - len(spec))))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return _map_with_paths(params, place)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs shard their leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def sharded_forward(model, mesh: Mesh, rules: Rules):
+    """Build (sharded_params, jitted_fn) for a BuiltModel over ``mesh``.
+
+    The returned fn takes an input dict whose arrays have a leading batch
+    dim divisible by the data-axis size; outputs come back sharded over
+    the batch axis.
+    """
+    params = shard_params(model.params, mesh, rules)
+    definition = model.definition
+    dtype = model.compute_dtype
+
+    @jax.jit
+    def forward(p, inputs):
+        return definition.apply(p, inputs, dtype)
+
+    in_shard = batch_sharding(mesh)
+
+    def run(inputs):
+        placed = {
+            name: jax.device_put(arr, in_shard) for name, arr in inputs.items()
+        }
+        return forward(params, placed)
+
+    return params, run
