@@ -48,10 +48,18 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     fuse itself.
     """
     w = p["w"]
-    if is_quantized_leaf(w) and _USE_PALLAS and x.ndim == 2:
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    # Pallas fused dequant-matmul pays off in the memory-bound regime
+    # (few rows, big weights — decode steps); at large M XLA's fused
+    # dequant+dot is already at the MXU roofline.
+    if is_quantized_leaf(w) and _USE_PALLAS and rows <= 64 and w["bits"] == 8:
         from .pallas_kernels import int8_matmul
 
-        y = int8_matmul(x.astype(dtype), w["w_q"], w["scale"])
+        x2 = x.reshape(rows, x.shape[-1])
+        y = int8_matmul(x2.astype(dtype), w["w_q"], w["scale"])
+        y = y.reshape(*x.shape[:-1], -1)
     else:
         wm = resolve_weight(w, dtype)
         y = jax.lax.dot_general(

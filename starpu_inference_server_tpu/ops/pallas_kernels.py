@@ -1,0 +1,207 @@
+"""Pallas TPU kernels: fused dequant-matmul for INT8/INT4 weights.
+
+No reference counterpart — the reference's hot op is LibTorch's cuDNN
+forward (starpu_setup.cpp:784-846); here the quantized matmul path is a
+hand-written MXU kernel per the BASELINE.json requirement ("all
+dequant+matmul paths as Pallas kernels").
+
+Key idea: per-output-channel symmetric scales commute with the
+contraction —  (x @ (w_q * s)) == (x @ w_q) * s  — so the kernel never
+materializes a dequantized weight in HBM: int8 (or packed-int4) tiles
+are DMA'd to VMEM, cast to bf16 in registers, fed to the MXU with f32
+accumulation, and the column scales are applied to the f32 accumulator.
+HBM traffic for weights drops 2x (int8) / 4x (int4) vs bf16.
+
+Grid: (M/TM, N/TN, K/TK) with a VMEM f32 accumulator scratch; K is the
+innermost (sequential) axis so the accumulator lives across the K steps
+of one (i, j) tile (standard Pallas matmul pipeline pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flipped to True by tests on CPU (interpret mode runs anywhere).
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 tile -> bf16 in VMEM, MXU dot with f32 accumulation
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16),
+        w_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # apply per-output-channel scales to the f32 accumulator
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _int4_matmul_kernel(xa_ref, xb_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    """Planar int4 layout: byte i of a [K/2, N] packed array holds
+    w[i] (low nibble) and w[i + K/2] (high nibble), so unpacking needs no
+    row interleave — y = x[:, :K/2] @ lo + x[:, K/2:] @ hi, with the two
+    contiguous x halves delivered as separate tiles."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Mosaic has no 8-bit shift lowering; unpack in int32
+    packed = w_ref[:].astype(jnp.int32)
+    lo = packed & 0x0F
+    hi = (packed >> 4) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+
+    dims = (((1,), (0,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(
+        xa_ref[:].astype(jnp.bfloat16), lo, dims,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        xb_ref[:].astype(jnp.bfloat16), hi, dims,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pad2(x, m_to, n_to):
+    m, n = x.shape
+    if m == m_to and n == n_to:
+        return x
+    return jnp.pad(x, ((0, m_to - m), (0, n_to - n)))
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k"))
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.float32,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    tile_k: int = 512,
+):
+    """y[M,N] = (x[M,K] @ w_q[K,N]) * scale[1,N], fused dequant."""
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2, (x.shape, w_q.shape)
+    scale = scale.reshape(1, n)
+
+    tm = min(tile_m, _round_up(m, 8))
+    tn = min(tile_n, _round_up(n, 128))
+    tk = min(tile_k, _round_up(k, 128))
+    mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
+
+    xp = _pad2(x, mp, kp)
+    wp = _pad2(w_q, kp, np_)
+    sp = _pad2(scale, 1, np_)
+    n_k = kp // tk
+
+    out = pl.pallas_call(
+        functools.partial(_matmul_kernel, n_k=n_k),
+        grid=(mp // tm, np_ // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xp, wp, sp)
+    return out[:m, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k"))
+def int4_matmul(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.float32,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    tile_k: int = 512,
+):
+    """y = (x[M,K] @ unpack_planar(w_packed[K//2,N])) * scale[1,N].
+
+    ``w_packed`` uses the PLANAR int4 layout (ops.quant.pack_int4_planar):
+    byte i holds w[i] in the low nibble and w[i + K/2] in the high
+    nibble. HBM sees a 4x smaller weight footprint than bf16 and the
+    kernel unpacks without any row interleave.
+    """
+    m, k = x.shape
+    khalf, n = w_packed.shape
+    assert k == khalf * 2, (x.shape, w_packed.shape)
+    scale = scale.reshape(1, n)
+
+    tm = min(tile_m, _round_up(m, 8))
+    tn = min(tile_n, _round_up(n, 128))
+    tk2 = min(tile_k // 2, _round_up(khalf, 128))  # half-K tile
+    mp, np_ = _round_up(m, tm), _round_up(n, tn)
+    kp2 = _round_up(khalf, tk2)
+
+    xa = _pad2(x[:, :khalf], mp, kp2)
+    xb = _pad2(x[:, khalf:], mp, kp2)
+    wp = _pad2(w_packed, kp2, np_)
+    sp = _pad2(scale, 1, np_)
+    n_k = kp2 // tk2
+
+    out = pl.pallas_call(
+        functools.partial(_int4_matmul_kernel, n_k=n_k),
+        grid=(mp // tm, np_ // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tm, tk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk2, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp2 * 2,
+            bytes_accessed=mp * kp2 * 4 + kp2 * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xa, xb, wp, sp)
+    return out[:m, :n]

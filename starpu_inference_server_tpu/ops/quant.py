@@ -55,6 +55,29 @@ def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
     return lo | (hi << 4)
 
 
+def pack_int4_planar(w_q: jnp.ndarray) -> jnp.ndarray:
+    """Planar packing for the Pallas int4 kernel: byte i holds w[i]
+    (low nibble) and w[i + K/2] (high nibble) — no row interleave, so
+    the kernel computes x[:, :K/2] @ lo + x[:, K/2:] @ hi with
+    contiguous activation halves."""
+    if w_q.shape[0] % 2 != 0:
+        raise ValueError("int4 packing requires an even leading dim")
+    half = w_q.shape[0] // 2
+    lo = (w_q[:half] & 0x0F).astype(jnp.uint8)
+    hi = (w_q[half:] & 0x0F).astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_int4_planar(packed: jnp.ndarray) -> jnp.ndarray:
+    def sext(nib):
+        nib = nib.astype(jnp.int8)
+        return jnp.where(nib >= 8, nib - 16, nib)
+
+    lo = sext(packed & 0x0F)
+    hi = sext((packed >> 4) & 0x0F)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`pack_int4`; returns sign-extended int8 values."""
 
