@@ -1,0 +1,365 @@
+"""Llama-class decoder family with INT8 KV-cache serving support.
+
+No reference counterpart (the reference serves encoder/classifier models
+only, with no KV cache; SURVEY.md section 5.7) — this implements
+BASELINE.json configs 4-5: decoder continuous batching with INT8
+KV-cache and INT4/INT8 weights.
+
+Architecture (the public Llama recipe): RMSNorm -> GQA attention with
+rotary position embeddings -> residual, RMSNorm -> SwiGLU MLP ->
+residual; no biases; tied-free LM head.
+
+Serving design (TPU-first, static shapes throughout):
+
+- the KV cache is a fixed [L, S, T, H_kv, D] tensor pair per k/v —
+  S serving "slots" (concurrent sequences), T max context — quantized
+  INT8 with one f32 scale per (layer, slot, position, head);
+- ``prefill`` writes a whole padded prompt into one slot (one jit per
+  prompt-length bucket);
+- ``decode_step`` advances ALL slots one token in a single jitted call
+  (the continuous-batching inner loop): inactive slots are masked, so
+  admission/eviction never changes the compiled shape;
+- cache updates donate the cache buffers, so XLA updates them in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..utils.config import TensorSpec
+from .registry import ModelDefinition, register_family
+
+# variant -> (hidden, layers, q_heads, kv_heads, intermediate, vocab)
+_VARIANTS = {
+    # tiny config for tests/CI
+    "llama-tiny": (256, 4, 8, 4, 688, 2048),
+    # ~1B class
+    "llama-1b": (2048, 16, 32, 8, 5504, 32000),
+    # ~7B class (llama-2-7b shapes)
+    "llama-7b": (4096, 32, 32, 32, 11008, 32000),
+}
+
+ROPE_THETA = 10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderSpec:
+    hidden: int
+    layers: int
+    q_heads: int
+    kv_heads: int
+    intermediate: int
+    vocab: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.q_heads
+
+
+class KVCache(NamedTuple):
+    """INT8 KV cache: values + per-(slot, pos, head) scales, plus the
+    per-slot sequence lengths."""
+
+    k: jnp.ndarray        # int8 [L, S, T, H_kv, D]
+    v: jnp.ndarray        # int8 [L, S, T, H_kv, D]
+    k_scale: jnp.ndarray  # f32  [L, S, T, H_kv]
+    v_scale: jnp.ndarray  # f32  [L, S, T, H_kv]
+    lengths: jnp.ndarray  # int32 [S]
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(spec: DecoderSpec, num_slots: int, max_len: int) -> KVCache:
+    shape = (spec.layers, num_slots, max_len, spec.kv_heads, spec.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, jnp.int8),
+        v=jnp.zeros(shape, jnp.int8),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32),
+        v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        lengths=jnp.zeros((num_slots,), jnp.int32),
+    )
+
+
+# -- params ----------------------------------------------------------------
+
+def _linear(rng, cin, cout):
+    return {"w": (rng.standard_normal((cin, cout)) * (1.0 / math.sqrt(cin))).astype(np.float32)}
+
+
+def init_params(spec: DecoderSpec, rng: np.random.Generator):
+    layers = []
+    for _ in range(spec.layers):
+        layers.append({
+            "attn_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
+            "attn": {
+                "q": _linear(rng, spec.hidden, spec.q_heads * spec.head_dim),
+                "k": _linear(rng, spec.hidden, spec.kv_heads * spec.head_dim),
+                "v": _linear(rng, spec.hidden, spec.kv_heads * spec.head_dim),
+                "o": _linear(rng, spec.q_heads * spec.head_dim, spec.hidden),
+            },
+            "mlp_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
+            "mlp": {
+                "gate": _linear(rng, spec.hidden, spec.intermediate),
+                "up": _linear(rng, spec.hidden, spec.intermediate),
+                "down": _linear(rng, spec.intermediate, spec.hidden),
+            },
+        })
+    return {
+        "embed": {"w": (rng.standard_normal((spec.vocab, spec.hidden)) * 0.02).astype(np.float32)},
+        "layers": layers,
+        "final_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
+        "lm_head": _linear(rng, spec.hidden, spec.vocab),
+    }
+
+
+# -- building blocks -------------------------------------------------------
+
+def rms_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * p["gamma"].astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    """Rotary embedding. x: [..., T, H, D]; positions: [..., T]."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = ROPE_THETA ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [..., T, half]
+    cos = jnp.cos(angles)[..., None, :]  # [..., T, 1, half]
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def _quantize_kv(t: jnp.ndarray):
+    """Per-(token, head) symmetric int8: t [..., H, D] ->
+    (int8 values, f32 scale[..., H])."""
+    absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(t.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype):
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def _mlp(p, x, dtype):
+    gate = nn.dense(p["gate"], x, dtype)
+    up = nn.dense(p["up"], x, dtype)
+    return nn.dense(p["down"], jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up, dtype)
+
+
+# -- full (teacher-forcing) forward: the registry-visible apply ------------
+
+def forward_logits(spec: DecoderSpec, params, ids: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Causal forward over a [B, T] batch, returns [B, T, vocab] logits."""
+    b, t = ids.shape
+    positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
+    x = nn.embedding(params["embed"], ids, dtype)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    for layer in params["layers"]:
+        h = rms_norm(layer["attn_norm"], x)
+        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(b, t, spec.q_heads, spec.head_dim)
+        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(b, t, spec.kv_heads, spec.head_dim)
+        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(b, t, spec.kv_heads, spec.head_dim)
+        q = rope(q, positions)
+        k = rope(k, positions)
+        rep = spec.q_heads // spec.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(spec.head_dim)
+        logits = jnp.where(causal, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        attn = attn.reshape(b, t, spec.q_heads * spec.head_dim).astype(dtype)
+        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        h = rms_norm(layer["mlp_norm"], x)
+        x = x + _mlp(layer["mlp"], h, dtype)
+    x = rms_norm(params["final_norm"], x)
+    return nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
+
+
+# -- prefill: write a prompt into one cache slot ---------------------------
+
+def prefill(
+    spec: DecoderSpec,
+    params,
+    cache: KVCache,
+    ids: jnp.ndarray,      # int32 [P] padded prompt
+    length: jnp.ndarray,   # int32 scalar: true prompt length
+    slot: jnp.ndarray,     # int32 scalar: target slot
+    dtype,
+) -> tuple:
+    """Returns (cache', last_logits [vocab])."""
+    p = ids.shape[0]
+    positions = jnp.arange(p, dtype=jnp.int32)
+    x = nn.embedding(params["embed"], ids[None, :], dtype)  # [1, P, D]
+    valid = positions < length
+    causal = (jnp.tril(jnp.ones((p, p), bool)) & valid[None, :])[None, None]
+
+    k_new, v_new, ks_new, vs_new = [], [], [], []
+    for layer in params["layers"]:
+        h = rms_norm(layer["attn_norm"], x)
+        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(1, p, spec.q_heads, spec.head_dim)
+        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(1, p, spec.kv_heads, spec.head_dim)
+        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(1, p, spec.kv_heads, spec.head_dim)
+        q = rope(q, positions[None])
+        k = rope(k, positions[None])
+        kq, kscale = _quantize_kv(k[0])   # [P, H_kv, D], [P, H_kv]
+        vq, vscale = _quantize_kv(v[0])
+        k_new.append(kq); v_new.append(vq); ks_new.append(kscale); vs_new.append(vscale)
+        rep = spec.q_heads // spec.kv_heads
+        kf = jnp.repeat(k, rep, axis=2)
+        vf = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kf, preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(spec.head_dim)
+        logits = jnp.where(causal, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vf, preferred_element_type=jnp.float32)
+        attn = attn.reshape(1, p, spec.q_heads * spec.head_dim).astype(dtype)
+        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        h = rms_norm(layer["mlp_norm"], x)
+        x = x + _mlp(layer["mlp"], h, dtype)
+
+    # write the prompt's KV into the cache slot (positions 0..P-1)
+    t_max = cache.max_len
+    pad = t_max - p
+    def fit(arr, fill=0):
+        return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+    k_stack = jnp.stack([fit(a) for a in k_new])      # [L, T, H, D]
+    v_stack = jnp.stack([fit(a) for a in v_new])
+    ks_stack = jnp.stack([fit(a) for a in ks_new])    # [L, T, H]
+    vs_stack = jnp.stack([fit(a) for a in vs_new])
+    cache = cache._replace(
+        k=jax.lax.dynamic_update_index_in_dim(cache.k, k_stack, slot, axis=1),
+        v=jax.lax.dynamic_update_index_in_dim(cache.v, v_stack, slot, axis=1),
+        k_scale=jax.lax.dynamic_update_index_in_dim(cache.k_scale, ks_stack, slot, axis=1),
+        v_scale=jax.lax.dynamic_update_index_in_dim(cache.v_scale, vs_stack, slot, axis=1),
+        lengths=cache.lengths.at[slot].set(length),
+    )
+    x = rms_norm(params["final_norm"], x)
+    last = x[0, length - 1]
+    logits = nn.dense(params["lm_head"], last[None, :], dtype)[0]
+    return cache, logits.astype(jnp.float32)
+
+
+# -- decode: advance every active slot one token ---------------------------
+
+def decode_step(
+    spec: DecoderSpec,
+    params,
+    cache: KVCache,
+    ids: jnp.ndarray,      # int32 [S] current token per slot
+    active: jnp.ndarray,   # bool [S]
+    dtype,
+) -> tuple:
+    """Returns (cache', logits [S, vocab]). Inactive slots are computed
+    but masked (static shapes; the continuous-batching contract)."""
+    s = ids.shape[0]
+    positions = cache.lengths  # new token goes at index ``length``
+    x = nn.embedding(params["embed"], ids[:, None], dtype)  # [S, 1, D]
+    t_max = cache.max_len
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [1, T]
+    # attend to cached positions < length, plus the new token at ``length``
+    mask = (key_pos <= positions[:, None])[:, None, None, :]  # [S,1,1,T]
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(layer["attn_norm"], x)
+        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(s, 1, spec.q_heads, spec.head_dim)
+        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(s, 1, spec.kv_heads, spec.head_dim)
+        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(s, 1, spec.kv_heads, spec.head_dim)
+        q = rope(q, positions[:, None])
+        k = rope(k, positions[:, None])
+
+        kq, kscale = _quantize_kv(k[:, 0])  # [S, H, D], [S, H]
+        vq, vscale = _quantize_kv(v[:, 0])
+        # scatter the new token at (slot s, position lengths[s])
+        slot_idx = jnp.arange(s)
+        ck = cache.k.at[li, slot_idx, positions].set(kq)
+        cv = cache.v.at[li, slot_idx, positions].set(vq)
+        cks = cache.k_scale.at[li, slot_idx, positions].set(kscale)
+        cvs = cache.v_scale.at[li, slot_idx, positions].set(vscale)
+        cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
+
+        k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
+        v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+        rep = spec.q_heads // spec.kv_heads
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+        logits = jnp.einsum(
+            "sqhd,skhd->shqk", q, k_all, preferred_element_type=jnp.float32
+        ) / math.sqrt(spec.head_dim)
+        logits = jnp.where(mask, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        attn = jnp.einsum(
+            "shqk,skhd->sqhd", probs, v_all, preferred_element_type=jnp.float32
+        ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        h = rms_norm(layer["mlp_norm"], x)
+        x = x + _mlp(layer["mlp"], h, dtype)
+
+    x = rms_norm(params["final_norm"], x)
+    logits = nn.dense(params["lm_head"], x[:, 0], dtype).astype(jnp.float32)
+    new_lengths = jnp.where(active, cache.lengths + 1, cache.lengths)
+    return cache._replace(lengths=new_lengths), logits
+
+
+# -- registry glue ---------------------------------------------------------
+
+def get_spec(variant: str, options) -> DecoderSpec:
+    hidden, layers, qh, kvh, inter, vocab = _VARIANTS[variant]
+    return DecoderSpec(
+        hidden=int(options.get("hidden", hidden)),
+        layers=int(options.get("layers", layers)),
+        q_heads=int(options.get("q_heads", qh)),
+        kv_heads=int(options.get("kv_heads", kvh)),
+        intermediate=int(options.get("intermediate", inter)),
+        vocab=int(options.get("vocab", vocab)),
+    )
+
+
+def _build_decoder(variant: str, options) -> ModelDefinition:
+    spec = get_spec(variant, options)
+    seq_len = int(options.get("seq_len", 128))
+
+    def init(rng):
+        return init_params(spec, rng)
+
+    def apply(params, inputs, dtype):
+        ids = inputs["input_ids"].astype(jnp.int32)
+        return {"logits": forward_logits(spec, params, ids, dtype)}
+
+    return ModelDefinition(
+        family=variant,
+        init_params=init,
+        apply=apply,
+        input_specs=(TensorSpec("input_ids", (seq_len,), "INT64"),),
+        output_specs=(TensorSpec("logits", (seq_len, spec.vocab), "FP32"),),
+    )
+
+
+for _variant in _VARIANTS:
+    register_family(_variant)(
+        lambda options, _v=_variant: _build_decoder(_v, options)
+    )

@@ -67,7 +67,7 @@ def get_family(name: str, options: Optional[Mapping[str, Any]] = None) -> ModelD
 
 def _ensure_loaded() -> None:
     # Import model modules lazily so registry import stays cheap.
-    from . import bert, identity, resnet, vit  # noqa: F401
+    from . import bert, decoder, identity, resnet, vit  # noqa: F401
 
 
 @dataclasses.dataclass

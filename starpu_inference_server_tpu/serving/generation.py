@@ -1,0 +1,278 @@
+"""Continuous-batching generation engine for decoder models.
+
+No reference counterpart (SURVEY.md section 5.7: the reference has no
+decoders and no KV cache) — this is the BASELINE.json continuous-batching
+requirement. Design:
+
+- a fixed pool of KV-cache SLOTS (static shapes; admission/eviction
+  never triggers recompilation);
+- the engine thread loop: admit pending prompts into free slots
+  (one jitted ``prefill`` per prompt-length bucket), then advance every
+  active slot one token with a single jitted ``decode_step`` whose cache
+  arguments are DONATED, so XLA updates the cache in place;
+- greedy argmax sampling happens on device; only the [S] next-token
+  vector syncs to host per step;
+- per-request token streams with EOS / max-new-tokens termination.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from collections import deque
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import (
+    DecoderSpec,
+    KVCache,
+    decode_step,
+    init_cache,
+    prefill,
+)
+from ..utils.clock import now_s
+from ..utils.logger import get_logger
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    prompt_ids: np.ndarray            # int32 [P]
+    max_new_tokens: int = 32
+    eos_id: Optional[int] = None
+    request_id: str = ""
+    # filled by the engine
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    error: Optional[BaseException] = None
+    on_token: Optional[Callable[[int], None]] = None  # streaming hook
+    submitted_at: float = 0.0
+    first_token_at: float = 0.0
+    finished_at: float = 0.0
+
+    def result(self, timeout: Optional[float] = None) -> List[int]:
+        if not self.done.wait(timeout=timeout):
+            raise TimeoutError("generation did not finish in time")
+        if self.error is not None:
+            raise self.error
+        return self.tokens
+
+
+@dataclasses.dataclass
+class _SlotState:
+    request: GenerationRequest
+    last_token: int
+    emitted: int
+
+
+class GenerationEngine:
+    def __init__(
+        self,
+        spec: DecoderSpec,
+        params,
+        dtype=jnp.bfloat16,
+        num_slots: int = 8,
+        max_len: int = 512,
+        prefill_buckets: Optional[List[int]] = None,
+    ):
+        self.spec = spec
+        self.params = jax.device_put(params)
+        self.dtype = dtype
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.prefill_buckets = sorted(prefill_buckets or [32, 64, 128, 256])
+        self.cache: KVCache = jax.device_put(init_cache(spec, num_slots, max_len))
+
+        # jit: cache buffers donated -> in-place updates on device
+        self._prefill = jax.jit(
+            partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
+        )
+        self._decode = jax.jit(
+            self._decode_and_sample, donate_argnums=(1,)
+        )
+
+        self._slots: List[Optional[_SlotState]] = [None] * num_slots
+        self._pending: deque = deque()
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.steps = 0
+        self.generated_tokens = 0
+
+    # -- device fns --------------------------------------------------------
+
+    def _decode_and_sample(self, params, cache, ids, active):
+        cache, logits = decode_step(self.spec, params, cache, ids, active, self.dtype)
+        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _bucket_for(self, length: int) -> int:
+        for b in self.prefill_buckets:
+            if b >= length:
+                return b
+        raise ValueError(
+            f"prompt length {length} exceeds largest prefill bucket "
+            f"{self.prefill_buckets[-1]}"
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, request: GenerationRequest) -> GenerationRequest:
+        request.submitted_at = now_s()
+        if len(request.prompt_ids) + request.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt({len(request.prompt_ids)}) + max_new_tokens"
+                f"({request.max_new_tokens}) exceeds max context {self.max_len}"
+            )
+        with self._work:
+            self._pending.append(request)
+            self._work.notify()
+        return request
+
+    def generate(
+        self,
+        prompt_ids: np.ndarray,
+        max_new_tokens: int = 32,
+        eos_id: Optional[int] = None,
+        timeout: float = 300.0,
+    ) -> List[int]:
+        req = GenerationRequest(
+            prompt_ids=np.asarray(prompt_ids, np.int32),
+            max_new_tokens=max_new_tokens,
+            eos_id=eos_id,
+        )
+        self.submit(req)
+        return req.result(timeout=timeout)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._loop, name="generation-engine", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._work:
+            self._work.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+
+    def active_count(self) -> int:
+        with self._lock:
+            return sum(s is not None for s in self._slots)
+
+    # -- engine loop -------------------------------------------------------
+
+    def _loop(self) -> None:
+        log = get_logger()
+        try:
+            while not self._stop.is_set():
+                admitted = self._admit_pending()
+                stepped = self._step_active()
+                if not admitted and not stepped:
+                    with self._work:
+                        if not self._pending and not self._stop.is_set():
+                            self._work.wait(timeout=0.05)
+        except BaseException as exc:  # noqa: BLE001 - fail all open requests
+            log.error("generation engine failed: %s", exc)
+            with self._lock:
+                failures = [s.request for s in self._slots if s is not None]
+                failures.extend(self._pending)
+                self._pending.clear()
+                self._slots = [None] * self.num_slots
+            for req in failures:
+                req.error = exc
+                req.done.set()
+
+    def _admit_pending(self) -> bool:
+        admitted = False
+        while True:
+            with self._lock:
+                free = next(
+                    (i for i, s in enumerate(self._slots) if s is None), None
+                )
+                if free is None or not self._pending:
+                    return admitted
+                request = self._pending.popleft()
+            self._prefill_into(free, request)
+            admitted = True
+
+    def _prefill_into(self, slot: int, request: GenerationRequest) -> None:
+        prompt = np.asarray(request.prompt_ids, np.int32)
+        bucket = self._bucket_for(len(prompt))
+        padded = np.zeros((bucket,), np.int32)
+        padded[: len(prompt)] = prompt
+        self.cache, logits = self._prefill(
+            self.params,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.int32(len(prompt)),
+            jnp.int32(slot),
+        )
+        first = int(jnp.argmax(logits))
+        request.first_token_at = now_s()
+        self._emit(request, first)
+        state = _SlotState(request=request, last_token=first, emitted=1)
+        with self._lock:
+            self._slots[slot] = state
+        if self._finished(state):
+            self._release(slot)
+
+    def _step_active(self) -> bool:
+        with self._lock:
+            if not any(s is not None for s in self._slots):
+                return False
+            ids = np.zeros((self.num_slots,), np.int32)
+            active = np.zeros((self.num_slots,), bool)
+            for i, s in enumerate(self._slots):
+                if s is not None:
+                    ids[i] = s.last_token
+                    active[i] = True
+
+        self.cache, next_tokens = self._decode(
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(active)
+        )
+        tokens = np.asarray(next_tokens)  # the one host sync per step
+        self.steps += 1
+
+        for i in range(self.num_slots):
+            if not active[i]:
+                continue
+            with self._lock:
+                state = self._slots[i]
+            if state is None:
+                continue
+            token = int(tokens[i])
+            state.last_token = token
+            state.emitted += 1
+            self._emit(state.request, token)
+            if self._finished(state):
+                self._release(i)
+        return True
+
+    def _emit(self, request: GenerationRequest, token: int) -> None:
+        request.tokens.append(token)
+        self.generated_tokens += 1
+        if request.on_token is not None:
+            request.on_token(token)
+
+    def _finished(self, state: _SlotState) -> bool:
+        req = state.request
+        if state.emitted >= req.max_new_tokens:
+            return True
+        return req.eos_id is not None and state.request.tokens[-1] == req.eos_id
+
+    def _release(self, slot: int) -> None:
+        with self._lock:
+            state = self._slots[slot]
+            self._slots[slot] = None
+        if state is not None:
+            state.request.finished_at = now_s()
+            state.request.done.set()
+        # zero the slot length so the next prefill starts clean
+        self.cache = self.cache._replace(
+            lengths=self.cache.lengths.at[slot].set(0)
+        )
