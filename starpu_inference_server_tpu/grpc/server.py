@@ -76,18 +76,40 @@ class InferenceServer:
             queue_probe=lambda: (self.queue.size(), self.queue.capacity),
             on_state_change=lambda c, s: self.observability.on_congestion_snapshot(s),
         )
-        self.runner = TaskRunner(
-            cfg,
-            self.engine,
-            self.queue,
-            observability=self.observability,
-            congestion_monitor=self.congestion,
-        )
+        self.generation_engine = None
+        self.runner = None
+        if self.engine.model.definition.supports_generation:
+            # decoder family: continuous-batching generation replaces the
+            # batch pipeline (no reference counterpart; BASELINE configs 4-5)
+            import jax.numpy as jnp
+
+            from ..models.decoder import get_spec
+            from ..serving.generation import GenerationEngine
+
+            opts = cfg.model.options
+            spec = get_spec(cfg.model.family, opts)
+            self.generation_engine = GenerationEngine(
+                spec,
+                model.params,
+                dtype=jnp.bfloat16 if cfg.model.compute_dtype == "BF16" else jnp.float32,
+                num_slots=int(opts.get("num_slots", 8)),
+                max_len=int(opts.get("max_len", 512)),
+                prefill_buckets=list(opts.get("prefill_buckets", [32, 64, 128, 256])),
+            )
+        else:
+            self.runner = TaskRunner(
+                cfg,
+                self.engine,
+                self.queue,
+                observability=self.observability,
+                congestion_monitor=self.congestion,
+            )
         self.servicer = InferenceServicer(
             cfg,
             self.queue,
             observability=self.observability,
             congestion_monitor=self.congestion,
+            generation_engine=self.generation_engine,
         )
         mrec = getattr(self.observability, "metrics", None)
         if mrec is not None and hasattr(mrec, "model_load_duration"):
@@ -100,7 +122,21 @@ class InferenceServer:
 
     def start_pipeline(self, warmup: bool = True) -> None:
         log = get_logger()
-        if warmup:
+        if self.generation_engine is not None:
+            self.generation_engine.start()
+            if warmup:
+                import numpy as np
+
+                watch = StopWatch()
+                # prime each prefill bucket + the decode step (a prompt of
+                # exactly ``bucket`` tokens compiles that bucket)
+                for bucket in self.generation_engine.prefill_buckets:
+                    if bucket + 2 <= self.generation_engine.max_len:
+                        self.generation_engine.generate(
+                            np.ones((bucket,), np.int32), max_new_tokens=2
+                        )
+                log.info("decoder warmup in %.1f ms", watch.elapsed_ms())
+        elif warmup:
             watch = StopWatch()
             n = self.runner.warmup()
             log.info("warmup: %d pinned jobs in %.1f ms", n, watch.elapsed_ms())
@@ -152,18 +188,28 @@ class InferenceServer:
         self.servicer.ready.clear()
         if self._grpc_server is not None:
             await self._grpc_server.stop(grace=5.0)
-        self.runner.stop(drain=True)
+        if self.runner is not None:
+            self.runner.stop(drain=True)
+        if self.generation_engine is not None:
+            self.generation_engine.stop()
         self.congestion.stop()
         mrec = getattr(self.observability, "metrics", None)
         if mrec is not None and hasattr(mrec, "stop_sampler"):
             mrec.stop_sampler()
             mrec.server_health.set(0)
         self.observability.flush()
-        log.info(
-            "shutdown complete: completed=%d failed=%d",
-            self.runner.dispatcher.completed_jobs,
-            self.runner.dispatcher.failed_jobs,
-        )
+        if self.runner is not None:
+            log.info(
+                "shutdown complete: completed=%d failed=%d",
+                self.runner.dispatcher.completed_jobs,
+                self.runner.dispatcher.failed_jobs,
+            )
+        else:
+            log.info(
+                "shutdown complete: generated_tokens=%d steps=%d",
+                self.generation_engine.generated_tokens,
+                self.generation_engine.steps,
+            )
 
     def request_stop(self) -> None:
         if hasattr(self, "_stop_event"):

@@ -95,11 +95,13 @@ class InferenceServicer:
         queue,
         observability=None,
         congestion_monitor=None,
+        generation_engine=None,
     ):
         self.cfg = cfg
         self.queue = queue
         self.observability = observability
         self.congestion = congestion_monitor
+        self.generation_engine = generation_engine
         self.stats = _ModelStats()
         self.ready = threading.Event()
         self._log = get_logger()
@@ -179,10 +181,175 @@ class InferenceServicer:
 
     # -- the hot path ------------------------------------------------------
 
+    # -- decoder generation path ------------------------------------------
+
+    @staticmethod
+    def _generation_params(request):
+        max_new = 32
+        eos_id = None
+        p = request.parameters
+        if "max_new_tokens" in p:
+            max_new = int(p["max_new_tokens"].int64_param)
+        if "eos_id" in p:
+            eos_id = int(p["eos_id"].int64_param)
+        return max_new, eos_id
+
+    def _extract_prompt(self, request):
+        import numpy as np
+
+        if not request.inputs or not request.raw_input_contents:
+            raise InputValidationError("generation requires an input_ids tensor")
+        tensor = request.inputs[0]
+        if tensor.name and tensor.name != "input_ids":
+            raise InputValidationError(
+                f"decoder models take 'input_ids', got {tensor.name!r}"
+            )
+        from ..utils.dtypes import canonical_dtype_name, numpy_dtype
+
+        dt = numpy_dtype(canonical_dtype_name(tensor.datatype or "INT64"))
+        if dt.kind not in ("i", "u"):
+            raise InputValidationError("input_ids must be an integer tensor")
+        ids = np.frombuffer(request.raw_input_contents[0], dtype=dt)
+        shape = tuple(int(d) for d in tensor.shape)
+        if len(shape) == 2 and shape[0] == 1:
+            shape = (shape[1],)
+        if len(shape) != 1 or shape[0] != ids.size:
+            raise InputValidationError(
+                f"input_ids shape {list(tensor.shape)} inconsistent with "
+                f"{ids.size} elements (expect [P] or [1, P])"
+            )
+        return ids.astype(np.int64)
+
+    async def _model_generate(self, request, context, server_receive):
+        """ModelInfer on a decoder model = full generation: input_ids ->
+        output_ids, driven by the continuous-batching engine."""
+        import numpy as np
+
+        from ..serving.generation import GenerationRequest
+
+        obs = self.observability
+        try:
+            prompt = self._extract_prompt(request)
+            max_new, eos_id = self._generation_params(request)
+            gen = GenerationRequest(
+                prompt_ids=prompt.astype(np.int32),
+                max_new_tokens=max_new,
+                eos_id=eos_id,
+                request_id=request.id or "",
+            )
+            self.generation_engine.submit(gen)
+        except (InputValidationError, ValueError) as exc:
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("INVALID_ARGUMENT").inc()
+            await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
+
+        loop = asyncio.get_running_loop()
+        try:
+            tokens = await loop.run_in_executor(None, gen.result, 300.0)
+        except Exception as exc:  # noqa: BLE001
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("INTERNAL").inc()
+            await context.abort(grpc.StatusCode.INTERNAL, str(exc))
+
+        out = np.asarray(tokens, np.int32)
+        response = pb.ModelInferResponse(
+            model_name=request.model_name or self.cfg.name,
+            model_version="1",
+            id=request.id,
+        )
+        t = response.outputs.add()
+        t.name = "output_ids"
+        t.datatype = "INT32"
+        t.shape.extend([1, len(out)])
+        response.raw_output_contents.append(out.tobytes())
+        ttft_ms = max(0.0, (gen.first_token_at - gen.submitted_at) * 1000.0)
+        total_ms = max(0.0, (gen.finished_at - gen.submitted_at) * 1000.0)
+        fill_timing_fields(
+            response,
+            {
+                "queue_ms": ttft_ms,
+                "inference_ms": max(0.0, total_ms - ttft_ms),
+                "total_ms": total_ms,
+            },
+            server_receive_ms=server_receive,
+        )
+        breakdown = {"total_ms": total_ms, "inference_ms": total_ms,
+                     "queue_ms": ttft_ms}
+        self.stats.record_success(breakdown, len(out))
+        if obs is not None:
+            obs.metrics.requests_by_status.labels("OK").inc()
+        return response
+
+    async def ModelStreamInfer(self, request_iterator, context):
+        """Streaming generation: one response per generated token
+        (the reference leaves this RPC UNIMPLEMENTED; for decoder serving
+        it is the natural token-stream surface)."""
+        if self.generation_engine is None:
+            await context.abort(
+                grpc.StatusCode.UNIMPLEMENTED,
+                "ModelStreamInfer is only available for decoder models",
+            )
+        import numpy as np
+
+        from ..serving.generation import GenerationRequest
+
+        loop = asyncio.get_running_loop()
+        async for request in request_iterator:
+            token_queue: asyncio.Queue = asyncio.Queue()
+
+            def on_token(token, _q=token_queue):
+                loop.call_soon_threadsafe(_q.put_nowait, token)
+
+            try:
+                prompt = self._extract_prompt(request)
+                max_new, eos_id = self._generation_params(request)
+                gen = GenerationRequest(
+                    prompt_ids=prompt.astype(np.int32),
+                    max_new_tokens=max_new,
+                    eos_id=eos_id,
+                    request_id=request.id or "",
+                    on_token=on_token,
+                )
+                self.generation_engine.submit(gen)
+            except (InputValidationError, ValueError) as exc:
+                yield pb.ModelStreamInferResponse(error_message=str(exc))
+                continue
+
+            done_task = loop.run_in_executor(None, gen.done.wait, 300.0)
+            emitted = 0
+            while True:
+                get_task = asyncio.ensure_future(token_queue.get())
+                await asyncio.wait(
+                    {get_task, done_task}, return_when=asyncio.FIRST_COMPLETED
+                )
+                if get_task.done():
+                    token = get_task.result()
+                    emitted += 1
+                    resp = pb.ModelInferResponse(
+                        model_name=request.model_name or self.cfg.name,
+                        id=request.id,
+                    )
+                    t = resp.outputs.add()
+                    t.name = "output_ids"
+                    t.datatype = "INT32"
+                    t.shape.extend([1, 1])
+                    resp.raw_output_contents.append(
+                        np.asarray([token], np.int32).tobytes()
+                    )
+                    yield pb.ModelStreamInferResponse(infer_response=resp)
+                else:
+                    get_task.cancel()
+                if gen.done.is_set() and token_queue.empty() and emitted >= len(gen.tokens):
+                    break
+            if gen.error is not None:
+                yield pb.ModelStreamInferResponse(error_message=str(gen.error))
+
     async def ModelInfer(self, request, context):
         """reference: HandleModelInferAsyncImpl,
         inference_service_async.cpp:385-520."""
         server_receive = wall_ms()
+        if self.generation_engine is not None:
+            return await self._model_generate(request, context, server_receive)
         obs = self.observability
         if obs is not None:
             obs.metrics.requests_total.inc()
@@ -322,14 +489,8 @@ def add_inference_service(server: grpc.aio.Server, servicer: InferenceServicer) 
             response_serializer=resp_cls.SerializeToString,
         )
 
-    async def stream_unimplemented(request_iterator, context):
-        await context.abort(
-            grpc.StatusCode.UNIMPLEMENTED, "ModelStreamInfer is not implemented"
-        )
-        yield  # pragma: no cover
-
     handlers["ModelStreamInfer"] = grpc.stream_stream_rpc_method_handler(
-        stream_unimplemented,
+        servicer.ModelStreamInfer,
         request_deserializer=pb.ModelInferRequest.FromString,
         response_serializer=pb.ModelStreamInferResponse.SerializeToString,
     )

@@ -356,6 +356,7 @@ def _build_decoder(variant: str, options) -> ModelDefinition:
         apply=apply,
         input_specs=(TensorSpec("input_ids", (seq_len,), "INT64"),),
         output_specs=(TensorSpec("logits", (seq_len, spec.vocab), "FP32"),),
+        supports_generation=True,
     )
 
 

@@ -36,6 +36,8 @@ class ModelDefinition:
     # name -> PartitionSpec-style tuple tree builder for tensor parallelism;
     # consumed by parallel/partition.py. None = replicate everything.
     partition_rules: Optional[Callable[[], Any]] = None
+    # decoder families support KV-cache generation (serving/generation.py)
+    supports_generation: bool = False
 
 
 _REGISTRY: Dict[str, Callable[[Mapping[str, Any]], ModelDefinition]] = {}
