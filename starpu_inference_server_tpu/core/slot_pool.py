@@ -33,9 +33,15 @@ class Slot:
     __slots__ = ("index", "buffers", "in_use")
 
     def __init__(self, index: int, specs: Sequence[TensorSpec], max_batch: int):
+        from ..native_bindings import aligned_buffer
+
         self.index = index
+        # page-aligned, pre-faulted buffers via the native allocator
+        # (falls back to np.zeros when libsis_runtime.so is not built)
         self.buffers: Dict[str, np.ndarray] = {
-            spec.name: np.zeros((max_batch, *spec.dims), dtype=numpy_dtype(spec.dtype))
+            spec.name: aligned_buffer(
+                (max_batch, *spec.dims), numpy_dtype(spec.dtype)
+            )
             for spec in specs
         }
         self.in_use = False

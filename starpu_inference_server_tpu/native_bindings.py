@@ -1,0 +1,177 @@
+"""ctypes bindings for the native data-plane library (libsis_runtime.so).
+
+Reference counterpart: the C++ slot pools / SlotManager staging copy
+(SURVEY.md section 2.1-2.2). Provides:
+
+- ``aligned_buffer``: page-aligned, pre-faulted numpy arrays backing the
+  staging slot pools (what cudaHostAlloc-pinning is to the reference,
+  alignment + pre-faulting is to PJRT host DMA);
+- ``parallel_copy``: GIL-free multi-threaded scatter of request payloads
+  into batch offsets (the std::execution::par memcpy path of
+  slot_manager_component.cpp:392-515);
+- ``NativeTokenQueue``: a GIL-free bounded MPMC queue of job tokens.
+
+Every entry point degrades gracefully to a pure-Python/numpy fallback
+when the library has not been built (``scripts/build_native.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "native_lib", "libsis_runtime.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.sis_alloc_aligned.restype = ctypes.c_void_p
+        lib.sis_alloc_aligned.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.sis_free_aligned.argtypes = [ctypes.c_void_p]
+        lib.sis_copy_pool_init.argtypes = [ctypes.c_int]
+        lib.sis_parallel_copy.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+        ]
+        lib.sis_queue_create.restype = ctypes.c_void_p
+        lib.sis_queue_create.argtypes = [ctypes.c_size_t]
+        lib.sis_queue_destroy.argtypes = [ctypes.c_void_p]
+        lib.sis_queue_push.restype = ctypes.c_int
+        lib.sis_queue_push.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.sis_queue_pop.restype = ctypes.c_int
+        lib.sis_queue_pop.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+        ]
+        lib.sis_queue_size.restype = ctypes.c_size_t
+        lib.sis_queue_size.argtypes = [ctypes.c_void_p]
+        lib.sis_queue_close_for_push.argtypes = [ctypes.c_void_p]
+        lib.sis_queue_shutdown.argtypes = [ctypes.c_void_p]
+        lib.sis_copy_pool_init(0)
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def aligned_buffer(shape, dtype, alignment: int = 4096) -> np.ndarray:
+    """Aligned, pre-faulted numpy buffer; falls back to np.zeros."""
+    lib = _load()
+    dt = np.dtype(dtype)
+    count = int(np.prod(shape))
+    nbytes = count * dt.itemsize
+    if lib is None or nbytes == 0:
+        return np.zeros(shape, dt)
+    ptr = lib.sis_alloc_aligned(nbytes, alignment)
+    if not ptr:
+        return np.zeros(shape, dt)
+    buf = (ctypes.c_char * nbytes).from_address(ptr)
+    arr = np.frombuffer(buf, dtype=dt).reshape(shape)
+    # keep the allocation alive and free it with the array
+    arr = arr.view(np.ndarray)
+    arr.flags.writeable = True
+    _register_finalizer(arr, ptr)
+    return arr
+
+
+_finalizers = {}
+
+
+def _register_finalizer(arr: np.ndarray, ptr: int) -> None:
+    import weakref
+
+    lib = _load()
+
+    def free(_ref=None, _ptr=ptr, _lib=lib):
+        _lib.sis_free_aligned(_ptr)
+        _finalizers.pop(_ptr, None)
+
+    base = arr if arr.base is None else arr.base
+    _finalizers[ptr] = weakref.ref(base, free)
+
+
+def parallel_copy(
+    dsts: Sequence[np.ndarray], srcs: Sequence[np.ndarray]
+) -> None:
+    """Copy each src into the matching dst view, multi-threaded and
+    GIL-free when the native library is present."""
+    n = len(dsts)
+    lib = _load()
+    if lib is None or n == 0:
+        for d, s in zip(dsts, srcs):
+            np.copyto(d, s)
+        return
+    dst_ptrs = (ctypes.c_void_p * n)()
+    src_ptrs = (ctypes.c_void_p * n)()
+    sizes = (ctypes.c_size_t * n)()
+    for i, (d, s) in enumerate(zip(dsts, srcs)):
+        if not d.flags["C_CONTIGUOUS"] or not s.flags["C_CONTIGUOUS"]:
+            np.copyto(d, s)
+            sizes[i] = 0
+            dst_ptrs[i] = None
+            src_ptrs[i] = None
+            continue
+        assert d.nbytes == s.nbytes, (d.shape, s.shape)
+        dst_ptrs[i] = d.ctypes.data
+        src_ptrs[i] = s.ctypes.data
+        sizes[i] = d.nbytes
+    lib.sis_parallel_copy(dst_ptrs, src_ptrs, sizes, n)
+
+
+class NativeTokenQueue:
+    """Bounded MPMC queue of uint64 tokens; None when lib missing."""
+
+    PUSH_OK = 0
+    PUSH_FULL = 1
+    PUSH_CLOSED = 2
+    POP_OK = 0
+    POP_TIMEOUT = 1
+    POP_SHUTDOWN = 2
+
+    def __init__(self, capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not built")
+        self._lib = lib
+        self._handle = lib.sis_queue_create(capacity)
+
+    def push(self, token: int) -> int:
+        return self._lib.sis_queue_push(self._handle, token)
+
+    def pop(self, timeout_s: Optional[float]) -> tuple:
+        out = ctypes.c_uint64()
+        timeout_us = -1 if timeout_s is None else int(timeout_s * 1e6)
+        rc = self._lib.sis_queue_pop(self._handle, ctypes.byref(out), timeout_us)
+        return rc, out.value
+
+    def size(self) -> int:
+        return self._lib.sis_queue_size(self._handle)
+
+    def close_for_push(self) -> None:
+        self._lib.sis_queue_close_for_push(self._handle)
+
+    def shutdown(self) -> None:
+        self._lib.sis_queue_shutdown(self._handle)
+
+    def __del__(self):
+        try:
+            self._lib.sis_queue_destroy(self._handle)
+        except Exception:
+            pass

@@ -148,14 +148,21 @@ class ExecutionLane:
         guard = SlotReleaseGuard(self._slot_pool, slot)
         try:
             master.timing.stamp("codelet_start_at")
-            # stage: master first, sub-jobs at their batch offsets
+            # stage: master first, sub-jobs at their batch offsets, all
+            # copies fanned out through the native GIL-free copy pool
             # (reference: validate_batch_and_copy_inputs,
             # slot_manager_component.cpp:392-515)
+            from ..native_bindings import parallel_copy
+
+            dsts, srcs = [], []
             offset = 0
             for job in (master, *master.sub_jobs):
+                n = job.batch_size()
                 for name, arr in job.inputs.items():
-                    slot.write(name, offset, arr)
-                offset += job.batch_size()
+                    dsts.append(slot.buffers[name][offset : offset + n])
+                    srcs.append(arr)
+                offset += n
+            parallel_copy(dsts, srcs)
             inputs = self._engine.put_inputs(slot.view(bucket), self.device_index)
             master.timing.stamp("inference_start_at")
             outputs = self._engine.execute(inputs, self.device_index)
