@@ -138,7 +138,9 @@ class InferenceClient:
         self.rejected = 0
         self.errors = 0
 
-    async def wait_ready(self, timeout_s: float = 30.0) -> None:
+    async def wait_ready(self, timeout_s: float = 300.0) -> None:
+        # default generous: server warmup compiles one executable per
+        # (device, bucket) before flipping ready
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
             try:
@@ -260,7 +262,7 @@ async def _amain(args) -> Dict:
     client = InferenceClient(
         args.target, args.model, specs, batch=args.batch, seed=args.seed
     )
-    await client.wait_ready()
+    await client.wait_ready(timeout_s=args.ready_timeout_s)
     if args.schedule:
         elapsed = await client.run_schedule(load_schedule(args.schedule))
     else:
@@ -282,6 +284,7 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--schedule", help="CSV delta_us,repeat[,input_id]")
     parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--ready-timeout-s", type=float, default=300.0)
     parser.add_argument("--summary-json", help="write summary JSON here")
     args = parser.parse_args(argv)
 

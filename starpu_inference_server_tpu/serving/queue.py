@@ -46,7 +46,13 @@ class InferenceQueue:
 
     def _notify_size(self, size: int) -> None:
         if self._on_size_change is not None:
-            self._on_size_change(size, self._max_size)
+            # observability must never break the pipeline
+            from ..utils.exceptions import run_with_logged_exceptions
+
+            run_with_logged_exceptions(
+                lambda: self._on_size_change(size, self._max_size),
+                "queue-size-observer",
+            )
 
     def push(self, job: InferenceJob) -> None:
         with self._lock:
