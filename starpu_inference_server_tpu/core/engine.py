@@ -59,10 +59,34 @@ class ModelEngine:
 
             nn.set_use_pallas(True)
 
-        # one param replica per device (reference: clone_model_to_gpus)
-        self._params_per_device: List[Any] = [
-            jax.device_put(model.params, dev) for dev in self.devices
-        ]
+        # Placement: mesh of size 1 -> one param replica per device
+        # (reference: clone_model_to_gpus); mesh > 1 -> ONE logical
+        # executor over the whole mesh with tensor-parallel params and
+        # data-parallel batches (GSPMD inserts the collectives).
+        self.mesh = None
+        self._input_sharding = None
+        mesh_cfg = cfg.devices.mesh
+        if mesh_cfg.size > 1:
+            from ..parallel.mesh import MeshAxes, make_device_mesh
+            from ..parallel.partition import (
+                batch_sharding,
+                partition_rules_for,
+                shard_params,
+            )
+
+            self.mesh = make_device_mesh(
+                MeshAxes(data=mesh_cfg.data, model=mesh_cfg.model),
+                devices=self.devices,
+            )
+            rules = partition_rules_for(model.definition.family)
+            self._params_per_device: List[Any] = [
+                shard_params(model.params, self.mesh, rules)
+            ]
+            self._input_sharding = batch_sharding(self.mesh)
+        else:
+            self._params_per_device = [
+                jax.device_put(model.params, dev) for dev in self.devices
+            ]
 
         definition = model.definition
         compute_dtype = model.compute_dtype
@@ -76,12 +100,26 @@ class ModelEngine:
 
     @property
     def buckets(self) -> Sequence[int]:
-        return self.cfg.buckets
+        return [self.effective_bucket(b) for b in self.cfg.buckets]
+
+    def min_batch_granularity(self) -> int:
+        """Batches must divide evenly over the data axis in mesh mode."""
+        if self.mesh is not None:
+            return dict(self.mesh.shape).get("data", 1)
+        return 1
+
+    def effective_bucket(self, bucket: int) -> int:
+        g = self.min_batch_granularity()
+        return ((bucket + g - 1) // g) * g
 
     def num_devices(self) -> int:
-        return len(self.devices)
+        """Logical executor count: per-chip replicas, or 1 for a mesh."""
+        return 1 if self.mesh is not None else len(self.devices)
 
     def device_name(self, device_index: int) -> str:
+        if self.mesh is not None:
+            shape = dict(self.mesh.shape)
+            return f"mesh(data={shape.get('data')},model={shape.get('model')})"
         d = self.devices[device_index]
         return f"{d.platform}:{d.id}"
 
@@ -91,7 +129,13 @@ class ModelEngine:
         self, inputs: Dict[str, np.ndarray], device_index: int
     ) -> Dict[str, jax.Array]:
         """Host->device transfer of a padded batch (the reference's H2D
-        staging via pinned slot buffers; slot_manager_component.cpp:392-515)."""
+        staging via pinned slot buffers; slot_manager_component.cpp:392-515).
+        In mesh mode the batch shards over the data axis."""
+        if self._input_sharding is not None:
+            return {
+                name: jax.device_put(arr, self._input_sharding)
+                for name, arr in inputs.items()
+            }
         dev = self.devices[device_index]
         return jax.device_put(inputs, dev)
 
@@ -110,9 +154,20 @@ class ModelEngine:
         return self.execute(self.put_inputs(inputs, device_index), device_index)
 
     @staticmethod
-    def wait(outputs: Dict[str, jax.Array]) -> None:
+    def fetch(outputs: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
+        """Fence device execution and bring the batch outputs to host —
+        ONE device-to-host transfer per output tensor (the reference's
+        codelet likewise copies outputs into host buffers before the
+        callback slices per request). ``block_until_ready`` alone is not
+        a reliable fence on proxied PJRT backends; the fetch is.
+        """
         for arr in outputs.values():
             arr.block_until_ready()
+        return {name: np.asarray(arr) for name, arr in outputs.items()}
+
+    @staticmethod
+    def wait(outputs: Dict[str, jax.Array]) -> None:
+        ModelEngine.fetch(outputs)
 
     # ------------------------------------------------------------------
 
@@ -137,8 +192,8 @@ class ModelEngine:
         (Warmup's TPU role; reference warmup.cpp:493-613.)"""
         log = get_logger()
         count = 0
-        for di in range(len(self.devices)):
-            for bucket in self.cfg.buckets:
+        for di in range(self.num_devices()):
+            for bucket in self.buckets:
                 if self.prime(di, bucket):
                     count += 1
                     log.debug(

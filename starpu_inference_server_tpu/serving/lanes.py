@@ -141,7 +141,9 @@ class ExecutionLane:
             self._complete(master, None, CancelledError("cancelled"), self)
             return
 
-        bucket = master.bucket_size or self._cfg.bucket_for(master.batch_size())
+        bucket = self._engine.effective_bucket(
+            master.bucket_size or self._cfg.bucket_for(master.batch_size())
+        )
         slot = self._slot_pool.acquire()
         if slot is None:
             raise RuntimeError("slot pool closed")
@@ -166,7 +168,8 @@ class ExecutionLane:
             inputs = self._engine.put_inputs(slot.view(bucket), self.device_index)
             master.timing.stamp("inference_start_at")
             outputs = self._engine.execute(inputs, self.device_index)
-            self._engine.wait(outputs)
+            # fence + one D2H per output tensor; the dispatcher slices on host
+            outputs = self._engine.fetch(outputs)
             t_end = master.timing.stamp("codelet_end_at")
         finally:
             guard.release()

@@ -29,6 +29,8 @@ from .queue import InferenceQueue
 from .strategies import StrategyInput, make_batching_strategy
 
 DRAIN_TIMEOUT_S = 30.0  # reference: server_main_shutdown_runtime.hpp / warmup.cpp:38
+# warmup gets longer: remote-compile backends may still build executables
+WARMUP_DRAIN_TIMEOUT_S = 300.0
 
 
 class TaskRunner:
@@ -48,7 +50,9 @@ class TaskRunner:
         self._submission_ids = itertools.count()
 
         self.inflight = InflightTracker(cfg.max_inflight_tasks)
-        self.slot_pool = SlotPool(cfg.inputs, cfg.max_batch_size, cfg.pool_size)
+        self.slot_pool = SlotPool(
+            cfg.inputs, engine.effective_bucket(cfg.max_batch_size), cfg.pool_size
+        )
         self.strategy = make_batching_strategy(cfg)
 
         self.dispatcher = ResultDispatcher(
@@ -198,7 +202,7 @@ class TaskRunner:
 
         jobs = []
         for lane_index in range(len(self.lanes)):
-            for bucket in self.cfg.buckets:
+            for bucket in self.engine.buckets:
                 for _ in range(n_req):
                     inputs = generate_inputs(self.cfg.inputs, bucket, rng)
                     jobs.append(
@@ -226,11 +230,11 @@ class TaskRunner:
                 with self.collector._depth_lock:
                     self.collector.prepared_depth += 1
                 self._process_prepared_job(master)
-            if not done.wait(timeout=DRAIN_TIMEOUT_S):
+            if not done.wait(timeout=WARMUP_DRAIN_TIMEOUT_S):
                 from ..utils.exceptions import WarmupTimeoutError
 
                 raise WarmupTimeoutError(
-                    f"warmup did not drain within {DRAIN_TIMEOUT_S}s"
+                    f"warmup did not drain within {WARMUP_DRAIN_TIMEOUT_S}s"
                 )
         finally:
             if self.observability is not None:
