@@ -198,6 +198,7 @@ class InferenceServer:
             mrec.stop_sampler()
             mrec.server_health.set(0)
         self.observability.flush()
+        self._run_trace_plots()
         if self.runner is not None:
             log.info(
                 "shutdown complete: completed=%d failed=%d",
@@ -210,6 +211,26 @@ class InferenceServer:
                 self.generation_engine.generated_tokens,
                 self.generation_engine.steps,
             )
+
+    def _run_trace_plots(self) -> None:
+        """Fork the plot script over the trace artifacts at shutdown
+        (reference: server_main_trace_plot_runtime.hpp:1-70 forks python
+        scripts/plot_batch_summary.py)."""
+        if not self.cfg.trace_enabled or not self.cfg.trace_output:
+            return
+        import subprocess
+        import sys
+
+        script = __file__.rsplit("/starpu_inference_server_tpu/", 1)[0] + \
+            "/scripts/plot_batch_summary.py"
+        try:
+            subprocess.Popen(
+                [sys.executable, script, self.cfg.trace_output],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except OSError:
+            pass
 
     def request_stop(self) -> None:
         if hasattr(self, "_stop_event"):

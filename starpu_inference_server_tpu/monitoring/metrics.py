@@ -179,6 +179,13 @@ class MetricsRecorder:
         self.rss = Gauge("process_resident_memory_bytes", "Resident set size", **reg)
         self.open_fds = Gauge("process_open_fds", "Open fd count", **reg)
         self.tpu_device_count = Gauge("tpu_device_count", "Local TPU devices", **reg)
+        # TPU analogues of the reference's NVML gauges (gpu_memory_*)
+        self.tpu_memory_used = Gauge(
+            "tpu_memory_used_bytes", "HBM bytes in use", ["device"], **reg
+        )
+        self.tpu_memory_total = Gauge(
+            "tpu_memory_total_bytes", "HBM bytes limit", ["device"], **reg
+        )
 
         self._exposer_port = None
         if port is not None:
@@ -223,6 +230,30 @@ class MetricsRecorder:
                 self.cpu_usage.set(100.0 * (ticks - last_ticks) / (now - last_t))
             self._last_cpu = (now, ticks)
         except OSError:
+            pass
+        self.sample_device_stats()
+
+    def sample_device_stats(self) -> None:
+        """TPU HBM usage via PJRT memory stats (the reference samples
+        NVML; metrics_gpu_cpu_providers.hpp)."""
+        try:
+            import jax
+
+            devices = jax.local_devices()
+            self.tpu_device_count.set(len(devices))
+            for dev in devices:
+                stats = getattr(dev, "memory_stats", lambda: None)()
+                if not stats:
+                    continue
+                label = f"{dev.platform}:{dev.id}"
+                if "bytes_in_use" in stats:
+                    self.tpu_memory_used.labels(label).set(stats["bytes_in_use"])
+                limit = stats.get("bytes_limit") or stats.get(
+                    "bytes_reservable_limit"
+                )
+                if limit:
+                    self.tpu_memory_total.labels(label).set(limit)
+        except Exception:  # noqa: BLE001 - sampling must never break serving
             pass
 
     # -- pipeline recording hooks ------------------------------------------
