@@ -155,7 +155,9 @@ void sis_parallel_copy(void** dsts, const void** srcs, const size_t* sizes,
   size_t total = 0;
   for (int i = 0; i < n; ++i) total += sizes[i];
   if (g_pool == nullptr || total < (256u << 10) || n == 1) {
-    for (int i = 0; i < n; ++i) std::memcpy(dsts[i], srcs[i], sizes[i]);
+    for (int i = 0; i < n; ++i) {
+      if (sizes[i] > 0) std::memcpy(dsts[i], srcs[i], sizes[i]);
+    }
     return;
   }
   // split large segments so the pool load-balances
@@ -163,6 +165,7 @@ void sis_parallel_copy(void** dsts, const void** srcs, const size_t* sizes,
   tasks.reserve(n * 2);
   const size_t kChunk = 1u << 20;  // 1 MiB
   for (int i = 0; i < n; ++i) {
+    if (sizes[i] == 0) continue;
     auto* dst = static_cast<char*>(dsts[i]);
     const auto* src = static_cast<const char*>(srcs[i]);
     size_t left = sizes[i];

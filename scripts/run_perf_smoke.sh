@@ -23,6 +23,7 @@ python -m starpu_inference_server_tpu.clients.client \
   --model "$(python -c "import yaml,sys; print(yaml.safe_load(open('$CONFIG'))['name'])")" \
   --input input:3x224x224:FP32 \
   --schedule "$SCHEDULE" \
+  --ready-timeout-s "${READY_TIMEOUT_S:-900}" \
   --summary-json "$SUMMARY"
 
 kill -INT $SERVER_PID

@@ -102,6 +102,30 @@ class ModelEngine:
     def buckets(self) -> Sequence[int]:
         return [self.effective_bucket(b) for b in self.cfg.buckets]
 
+    def staging_specs(self):
+        """Input specs with the dtype the staging buffers should hold.
+
+        Float inputs are staged at the compute dtype (bf16): the model
+        casts immediately anyway, and converting on host halves
+        host->device bytes — the transfer is the serving hot path's
+        bandwidth bound (the reference's analogue is its pinned-buffer
+        H2D staging; here we also shrink the payload).
+        """
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        specs = []
+        for spec in self.cfg.inputs:
+            if self.model.compute_dtype == jnp.bfloat16 and spec.dtype in (
+                "FP32",
+                "FP64",
+            ):
+                specs.append(_dc.replace(spec, dtype="BF16"))
+            else:
+                specs.append(spec)
+        return specs
+
     def min_batch_granularity(self) -> int:
         """Batches must divide evenly over the data axis in mesh mode."""
         if self.mesh is not None:

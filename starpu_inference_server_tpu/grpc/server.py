@@ -35,6 +35,26 @@ from ..utils.logger import get_logger, set_global_verbosity
 from .service import InferenceServicer, add_inference_service
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across server restarts so warmup
+    (one executable per device/bucket) is a cache hit after the first
+    boot. Set SIS_NO_COMPILE_CACHE=1 to disable."""
+    import os
+
+    if os.environ.get("SIS_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/sis_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
 class InferenceServer:
     """Owns the whole serving stack for one model (the reference serves
     exactly one model per process; docs/server_guide.md:74)."""
@@ -49,6 +69,7 @@ class InferenceServer:
         log = get_logger()
         set_global_verbosity(cfg.verbosity)
         apply_xla_env(cfg)
+        _enable_compilation_cache()
 
         self.observability = (
             observability

@@ -122,8 +122,14 @@ def parallel_copy(
     src_ptrs = (ctypes.c_void_p * n)()
     sizes = (ctypes.c_size_t * n)()
     for i, (d, s) in enumerate(zip(dsts, srcs)):
-        if not d.flags["C_CONTIGUOUS"] or not s.flags["C_CONTIGUOUS"]:
-            np.copyto(d, s)
+        if (
+            not d.flags["C_CONTIGUOUS"]
+            or not s.flags["C_CONTIGUOUS"]
+            or d.dtype != s.dtype
+        ):
+            # casting copy (e.g. fp32 request -> bf16 staging): numpy's
+            # vectorized converting copy, outside the raw-memcpy pool
+            np.copyto(d, s, casting="unsafe")
             sizes[i] = 0
             dst_ptrs[i] = None
             src_ptrs[i] = None

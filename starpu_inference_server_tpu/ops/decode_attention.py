@@ -1,0 +1,150 @@
+"""Fused INT8-KV decode attention (Pallas, flash-style).
+
+The jnp decode path dequantizes the whole KV cache and materializes
+``jnp.repeat``-ed K/V for GQA every step — rep× extra HBM traffic on the
+step's dominant cost (reading the cache). This kernel:
+
+- reads the int8 cache chunk-by-chunk into VMEM and dequantizes there;
+- never materializes GQA repeats: q is viewed as [H_kv, rep, D] and each
+  KV head's chunk serves its ``rep`` query heads via batched dots;
+- uses the online-softmax (flash) recurrence over T chunks, f32
+  accumulators in VMEM scratch;
+- masks positions > length per slot (lengths are scalar-prefetched so
+  the mask indices are ready before the body runs).
+
+Per (slot, chunk) grid step, HBM traffic is exactly the int8 K/V chunk +
+scales — the memory-bound optimum for decode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def _kernel(
+    len_ref,      # scalar-prefetch: int32 [S]
+    q_ref,        # [1, Hq, D]
+    k_ref,        # int8 [1, C, Hkv, D]
+    v_ref,        # int8 [1, C, Hkv, D]
+    ks_ref,       # f32 [1, C, Hkv]
+    vs_ref,       # f32 [1, C, Hkv]
+    o_ref,        # [1, Hq, D]
+    m_scr,        # f32 [Hkv, rep]
+    l_scr,        # f32 [Hkv, rep]
+    acc_scr,      # f32 [Hkv, rep, D]
+    *,
+    chunk: int,
+    n_chunks: int,
+    rep: int,
+):
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    hq, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = hq // rep
+    q = q_ref[0].reshape(hkv, rep, d).astype(jnp.float32)
+
+    k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]   # [C, Hkv, D]
+    v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+
+    # logits[kv, rep, t] = q[kv, rep, :] . k[t, kv, :]
+    kt = jnp.transpose(k, (1, 0, 2))  # [Hkv, C, D]
+    logits = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(d)                                           # [Hkv, rep, C]
+
+    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+    valid = pos <= len_ref[s]
+    logits = jnp.where(valid, logits, -1e30)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[..., None])                     # [Hkv, rep, C]
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+    m_scr[:] = m_new
+
+    vt = jnp.transpose(v, (1, 0, 2))  # [Hkv, C, D]
+    pv = jax.lax.dot_general(
+        p, vt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                          # [Hkv, rep, D]
+    acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[0] = out.reshape(hq, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "chunk", "out_dtype"))
+def decode_attention(
+    q: jnp.ndarray,        # [S, Hq, D] (bf16/f32)
+    k_cache: jnp.ndarray,  # int8 [S, T, Hkv, D]
+    v_cache: jnp.ndarray,  # int8 [S, T, Hkv, D]
+    k_scale: jnp.ndarray,  # f32 [S, T, Hkv]
+    v_scale: jnp.ndarray,  # f32 [S, T, Hkv]
+    lengths: jnp.ndarray,  # int32 [S] — attend to positions <= lengths[s]
+    rep: int,
+    chunk: int = 128,
+    out_dtype=None,
+):
+    s, hq, d = q.shape
+    t = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    assert hq == hkv * rep, (q.shape, k_cache.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    chunk = min(chunk, t)
+    assert t % chunk == 0, (t, chunk)
+    n_chunks = t // chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, n_chunks=n_chunks, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hq, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * t * d,
+            bytes_accessed=2 * s * t * hkv * d + s * hq * d * 4,
+            transcendentals=s * hq * t,
+        ),
+        interpret=_INTERPRET,
+    )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)

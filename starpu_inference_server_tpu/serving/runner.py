@@ -51,7 +51,9 @@ class TaskRunner:
 
         self.inflight = InflightTracker(cfg.max_inflight_tasks)
         self.slot_pool = SlotPool(
-            cfg.inputs, engine.effective_bucket(cfg.max_batch_size), cfg.pool_size
+            engine.staging_specs(),
+            engine.effective_bucket(cfg.max_batch_size),
+            cfg.pool_size,
         )
         self.strategy = make_batching_strategy(cfg)
 
