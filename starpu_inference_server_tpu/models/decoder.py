@@ -264,6 +264,20 @@ def prefill(
     return cache, logits.astype(jnp.float32)
 
 
+def _use_fused_decode_attention(spec: DecoderSpec, t_max: int) -> bool:
+    """Route decode attention through the Pallas fused INT8-KV kernel
+    (ops/decode_attention.py) when enabled and the shapes fit its tiling
+    (head_dim >= 64, context a multiple of 128)."""
+    from ..ops import nn as _nn
+
+    return (
+        _nn.use_pallas()
+        and spec.head_dim >= 64
+        and t_max % 128 == 0
+        and spec.q_heads % spec.kv_heads == 0
+    )
+
+
 # -- decode: advance every active slot one token ---------------------------
 
 def decode_step(
@@ -302,19 +316,32 @@ def decode_step(
         cvs = cache.v_scale.at[li, slot_idx, positions].set(vscale)
         cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
 
-        k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
-        v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
         rep = spec.q_heads // spec.kv_heads
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-        logits = jnp.einsum(
-            "sqhd,skhd->shqk", q, k_all, preferred_element_type=jnp.float32
-        ) / math.sqrt(spec.head_dim)
-        logits = jnp.where(mask, logits, -1e9)
-        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        attn = jnp.einsum(
-            "shqk,skhd->sqhd", probs, v_all, preferred_element_type=jnp.float32
-        ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+        if _use_fused_decode_attention(spec, t_max):
+            from ..ops.decode_attention import decode_attention
+
+            attn = decode_attention(
+                q[:, 0],
+                cache.k[li],
+                cache.v[li],
+                cache.k_scale[li],
+                cache.v_scale[li],
+                positions,
+                rep=rep,
+            ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+        else:
+            k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
+            v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+            logits = jnp.einsum(
+                "sqhd,skhd->shqk", q, k_all, preferred_element_type=jnp.float32
+            ) / math.sqrt(spec.head_dim)
+            logits = jnp.where(mask, logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            attn = jnp.einsum(
+                "shqk,skhd->sqhd", probs, v_all, preferred_element_type=jnp.float32
+            ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
         x = x + _mlp(layer["mlp"], h, dtype)
