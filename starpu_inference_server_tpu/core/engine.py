@@ -56,8 +56,14 @@ class ModelEngine:
 
         if self.platform == "tpu":
             from ..ops import nn
+            from ..ops.quant import pack_int4_tree
+            from ..utils.config import QuantMode
 
             nn.set_use_pallas(True)
+            if model.quant is QuantMode.INT4:
+                # planar-pack int4 leaves for the Pallas kernel: HBM
+                # weight footprint drops 2x vs the int8 carrier
+                model.params = pack_int4_tree(model.params)
 
         # Placement: mesh of size 1 -> one param replica per device
         # (reference: clone_model_to_gpus); mesh > 1 -> ONE logical
@@ -192,6 +198,23 @@ class ModelEngine:
     @staticmethod
     def wait(outputs: Dict[str, jax.Array]) -> None:
         ModelEngine.fetch(outputs)
+
+    def conform_outputs(
+        self, outputs: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Cast host outputs to their declared wire dtype (the bf16
+        staging path may otherwise leak compute dtype into outputs of
+        models that pass inputs through)."""
+        from ..utils.dtypes import numpy_dtype
+
+        conformed = {}
+        for name, arr in outputs.items():
+            spec = next((s for s in self.cfg.outputs if s.name == name), None)
+            want = numpy_dtype(spec.dtype) if spec is not None else None
+            if want is not None and arr.dtype != want:
+                arr = arr.astype(want)
+            conformed[name] = arr
+        return conformed
 
     # ------------------------------------------------------------------
 

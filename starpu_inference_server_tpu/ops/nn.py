@@ -18,7 +18,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .quant import dequantize, is_quantized_leaf
+from .quant import (
+    dequantize,
+    is_packed_int4_leaf,
+    is_quantized_leaf,
+    unpack_int4_planar,
+)
 
 # Toggled by the engine when running on real TPU; tests exercise both.
 _USE_PALLAS = False
@@ -34,7 +39,9 @@ def use_pallas() -> bool:
 
 
 def resolve_weight(w, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Materialize a (possibly quantized) weight at compute dtype."""
+    """Materialize a (possibly quantized/packed) weight at compute dtype."""
+    if is_packed_int4_leaf(w):
+        return dequantize(unpack_int4_planar(w["w_p4"]), w["scale"], dtype=dtype)
     if is_quantized_leaf(w):
         return dequantize(w["w_q"], w["scale"], dtype=dtype)
     return w.astype(dtype)
@@ -54,7 +61,13 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     # Pallas fused dequant-matmul pays off in the memory-bound regime
     # (few rows, big weights — decode steps); at large M XLA's fused
     # dequant+dot is already at the MXU roofline.
-    if is_quantized_leaf(w) and _USE_PALLAS and rows <= 64 and w["bits"] == 8:
+    if is_packed_int4_leaf(w) and _USE_PALLAS:
+        from .pallas_kernels import int4_matmul
+
+        x2 = x.reshape(rows, x.shape[-1])
+        y = int4_matmul(x2.astype(dtype), w["w_p4"], w["scale"])
+        y = y.reshape(*x.shape[:-1], -1)
+    elif is_quantized_leaf(w) and _USE_PALLAS and rows <= 64 and w["bits"] == 8:
         from .pallas_kernels import int8_matmul
 
         x2 = x.reshape(rows, x.shape[-1])
@@ -129,10 +142,8 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 def embedding(p, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Token embedding lookup. ``p`` = {'w': [vocab, dim]} (kept dense —
     gathers don't benefit from weight-only quant on the MXU)."""
-    w = p["w"]
-    if is_quantized_leaf(w):
-        w = dequantize(w["w_q"], w["scale"], dtype=dtype)
-    return jnp.take(w.astype(dtype), ids, axis=0)
+    w = resolve_weight(p["w"], dtype)
+    return jnp.take(w, ids, axis=0)
 
 
 def _attention(q, k, v, mask, num_heads: int, dtype) -> jnp.ndarray:

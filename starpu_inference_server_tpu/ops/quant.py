@@ -146,3 +146,34 @@ def maybe_quantize_tree(params, bits: Optional[int], axis: int = -1):
 
 def is_quantized_leaf(node) -> bool:
     return isinstance(node, dict) and "w_q" in node and "scale" in node
+
+
+def is_packed_int4_leaf(node) -> bool:
+    return isinstance(node, dict) and "w_p4" in node and "scale" in node
+
+
+def pack_int4_tree(params):
+    """Convert int4 quantized leaves (int8 carrier) to the planar packed
+    HBM format the Pallas int4 kernel reads: {'w_p4': uint8 [K/2, N],
+    'scale': ...}. Leaves with odd K stay unpacked. Applied at engine
+    build time when the Pallas path is active — HBM weight footprint
+    drops 2x vs the int8 carrier (4x vs bf16).
+    """
+
+    def rec(node):
+        if is_quantized_leaf(node):
+            if node.get("bits") == 4 and node["w_q"].ndim == 2 and \
+                    node["w_q"].shape[0] % 2 == 0:
+                return {
+                    "w_p4": pack_int4_planar(node["w_q"]),
+                    "scale": node["scale"],
+                    "bits": 4,
+                }
+            return node
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(params)

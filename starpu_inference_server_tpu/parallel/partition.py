@@ -24,8 +24,12 @@ from typing import Any, List, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.quant import is_quantized_leaf
+from ..ops.quant import is_packed_int4_leaf, is_quantized_leaf
 from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _is_opaque_leaf(node) -> bool:
+    return is_quantized_leaf(node) or is_packed_int4_leaf(node)
 
 # (path regex, PartitionSpec for the weight leaf). First match wins;
 # paths look like "layers/3/attn/q/w" or "blocks/0/mlp/fc1/b".
@@ -68,7 +72,7 @@ def _spec_for_path(path: str, rules: Rules) -> P:
 
 def _tree_with_paths(node: Any, prefix: str = ""):
     """Yield (path, leaf) with quantized dicts treated as single leaves."""
-    if is_quantized_leaf(node):
+    if _is_opaque_leaf(node):
         yield prefix, node
     elif isinstance(node, dict):
         for key, value in node.items():
@@ -81,7 +85,7 @@ def _tree_with_paths(node: Any, prefix: str = ""):
 
 
 def _map_with_paths(node: Any, fn, prefix: str = ""):
-    if is_quantized_leaf(node):
+    if _is_opaque_leaf(node):
         return fn(prefix, node)
     if isinstance(node, dict):
         return {
@@ -116,6 +120,13 @@ def shard_params(params: Any, mesh: Mesh, rules: Rules) -> Any:
 
     def place(path: str, leaf):
         spec = _spec_for_path(path, rules)
+        if is_packed_int4_leaf(leaf):
+            w_spec, s_spec = _quant_specs(spec, leaf)
+            return {
+                "w_p4": jax.device_put(leaf["w_p4"], NamedSharding(mesh, w_spec)),
+                "scale": jax.device_put(leaf["scale"], NamedSharding(mesh, s_spec)),
+                "bits": leaf["bits"],
+            }
         if is_quantized_leaf(leaf):
             w_spec, s_spec = _quant_specs(spec, leaf)
             return {

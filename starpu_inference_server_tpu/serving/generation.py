@@ -79,6 +79,12 @@ class GenerationEngine:
         prefill_buckets: Optional[List[int]] = None,
     ):
         self.spec = spec
+        if jax.default_backend() == "tpu":
+            from ..ops import nn
+            from ..ops.quant import pack_int4_tree
+
+            nn.set_use_pallas(True)
+            params = pack_int4_tree(params)
         self.params = jax.device_put(params)
         self.dtype = dtype
         self.num_slots = num_slots

@@ -169,7 +169,7 @@ class ExecutionLane:
             master.timing.stamp("inference_start_at")
             outputs = self._engine.execute(inputs, self.device_index)
             # fence + one D2H per output tensor; the dispatcher slices on host
-            outputs = self._engine.fetch(outputs)
+            outputs = self._engine.conform_outputs(self._engine.fetch(outputs))
             t_end = master.timing.stamp("codelet_end_at")
         finally:
             guard.release()
