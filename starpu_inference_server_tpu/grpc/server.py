@@ -143,6 +143,16 @@ class InferenceServer:
 
     def start_pipeline(self, warmup: bool = True) -> None:
         log = get_logger()
+        if self.cfg.profiler_port > 0:
+            # XLA/TPU trace tier (replaces StarPU FXT + NVTX; attach
+            # TensorBoard to this port to capture device timelines)
+            import jax
+
+            try:
+                jax.profiler.start_server(self.cfg.profiler_port)
+                log.info("jax profiler server on :%d", self.cfg.profiler_port)
+            except Exception as exc:  # noqa: BLE001
+                log.warn("profiler server failed: %s", exc)
         if self.generation_engine is not None:
             self.generation_engine.start()
             if warmup:

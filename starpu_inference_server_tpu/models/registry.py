@@ -107,8 +107,26 @@ def build_model(settings: ModelSettings, seed: int = 0) -> BuiltModel:
 
 
 def load_params(path: str) -> Any:
-    """Load a param pytree from an ``.npz`` flat-key checkpoint
-    ('a/b/c' -> nested dicts; lists encoded as numeric keys)."""
+    """Load a param pytree.
+
+    - directory -> Orbax checkpoint (sharded-weight reads; the TPU
+      equivalent of the reference's model-artifact load at startup,
+      SURVEY.md section 5.4);
+    - ``.npz`` file -> flat-key archive ('a/b/c' -> nested dicts; lists
+      encoded as numeric keys).
+    """
+    import os
+
+    if os.path.isdir(path):
+        try:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                return ckptr.restore(os.path.abspath(path))
+        except Exception as exc:
+            raise ModelLoadError(
+                f"failed to restore orbax checkpoint {path}: {exc}"
+            ) from exc
     try:
         flat = np.load(path, allow_pickle=False)
     except Exception as exc:

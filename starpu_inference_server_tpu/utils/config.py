@@ -186,6 +186,7 @@ class RuntimeConfig:
     seed: int = 42
     metrics_enabled: bool = True
     metrics_port: int = 9090
+    profiler_port: int = 0  # jax.profiler server (TensorBoard attach); 0 = off
     trace_enabled: bool = False
     trace_output: str = ""
     xla_env: Mapping[str, str] = dataclasses.field(default_factory=dict)
@@ -474,6 +475,7 @@ _TOP_LEVEL_KEYS = [
     "seed",
     "metrics_enabled",
     "metrics_port",
+    "profiler_port",
     "trace_enabled",
     "trace_output",
     "xla_env",
@@ -542,6 +544,7 @@ def parse_config(raw: Mapping[str, Any]) -> RuntimeConfig:
         seed=int(raw.get("seed", 42)),
         metrics_enabled=bool(raw.get("metrics_enabled", True)),
         metrics_port=_as_positive_int("metrics_port", raw.get("metrics_port", 9090)),
+        profiler_port=int(raw.get("profiler_port", 0) or 0),
         trace_enabled=bool(raw.get("trace_enabled", False)),
         trace_output=str(raw.get("trace_output", "") or ""),
         xla_env={str(k): str(v) for k, v in (raw.get("xla_env") or {}).items()},
