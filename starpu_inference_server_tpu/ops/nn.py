@@ -67,7 +67,9 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
         x2 = x.reshape(rows, x.shape[-1])
         y = int4_matmul(x2.astype(dtype), w["w_p4"], w["scale"])
         y = y.reshape(*x.shape[:-1], -1)
-    elif is_quantized_leaf(w) and _USE_PALLAS and rows <= 64 and w["bits"] == 8:
+    elif is_quantized_leaf(w) and _USE_PALLAS and rows <= 64:
+        # int8 carrier; also correct for unpacked int4 values in [-7,7]
+        # ("bits" may be a device scalar under jit — never branch on it)
         from .pallas_kernels import int8_matmul
 
         x2 = x.reshape(rows, x.shape[-1])
