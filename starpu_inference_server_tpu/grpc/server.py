@@ -132,6 +132,8 @@ class InferenceServer:
             congestion_monitor=self.congestion,
             generation_engine=self.generation_engine,
         )
+        if self.runner is not None:
+            self.servicer.batch_stats_source = self.runner.dispatcher
         mrec = getattr(self.observability, "metrics", None)
         if mrec is not None and hasattr(mrec, "model_load_duration"):
             mrec.model_load_duration.observe(watch.elapsed_ms())

@@ -103,6 +103,7 @@ class InferenceServicer:
         self.congestion = congestion_monitor
         self.generation_engine = generation_engine
         self.stats = _ModelStats()
+        self.batch_stats_source = None  # ResultDispatcher, when wired
         self.ready = threading.Event()
         self._log = get_logger()
 
@@ -177,6 +178,27 @@ class InferenceServicer:
                     compute_output=pb.StatisticDuration(count=s.success_count, ns=s.output_ns),
                 ),
             )
+        if self.batch_stats_source is not None:
+            with self.batch_stats_source._lock:
+                snapshot = {
+                    size: dict(agg)
+                    for size, agg in self.batch_stats_source.batch_stats.items()
+                }
+            for size in sorted(snapshot):
+                agg = snapshot[size]
+                count = int(agg["count"])
+                stat.batch_stats.add(
+                    batch_size=size,
+                    compute_input=pb.StatisticDuration(
+                        count=count, ns=int(agg["compute_input_ns"])
+                    ),
+                    compute_infer=pb.StatisticDuration(
+                        count=count, ns=int(agg["compute_infer_ns"])
+                    ),
+                    compute_output=pb.StatisticDuration(
+                        count=count, ns=int(agg["compute_output_ns"])
+                    ),
+                )
         return pb.ModelStatisticsResponse(model_stats=[stat])
 
     # -- the hot path ------------------------------------------------------

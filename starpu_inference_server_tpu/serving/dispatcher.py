@@ -40,6 +40,9 @@ class ResultDispatcher:
         self.completed_jobs = 0
         self.failed_jobs = 0
         self.cancelled_jobs = 0
+        # per-batch-size aggregates for the ModelStatistics RPC
+        # (reference: InferBatchStatistics, grpc_service.proto)
+        self.batch_stats: Dict[int, Dict[str, float]] = {}
         self._lock = threading.Lock()
         self._drain_cond = threading.Condition(self._lock)
 
@@ -62,6 +65,19 @@ class ResultDispatcher:
                 self._fan_out_success(master, outputs)
         finally:
             logical = master.logical_jobs
+            if error is None and not master.is_warmup:
+                size = master.effective_batch or master.batch_size()
+                lb = master.latency_breakdown
+                with self._lock:
+                    agg = self.batch_stats.setdefault(
+                        size,
+                        {"count": 0, "compute_input_ns": 0.0,
+                         "compute_infer_ns": 0.0, "compute_output_ns": 0.0},
+                    )
+                    agg["count"] += 1
+                    agg["compute_input_ns"] += lb.get("batch_ms", 0.0) * 1e6
+                    agg["compute_infer_ns"] += lb.get("inference_ms", 0.0) * 1e6
+                    agg["compute_output_ns"] += lb.get("callback_ms", 0.0) * 1e6
             with self._drain_cond:
                 self.completed_jobs += logical
                 if error is not None and not isinstance(error, CancelledError):

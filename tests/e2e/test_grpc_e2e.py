@@ -176,6 +176,9 @@ def test_statistics_accumulate(harness):
     stat = resp.model_stats[0]
     assert stat.inference_count > 0
     assert stat.inference_stats.success.count > 0
+    # per-batch-size aggregates (reference: InferBatchStatistics)
+    assert len(stat.batch_stats) > 0
+    assert sum(b.compute_infer.count for b in stat.batch_stats) > 0
 
 
 def test_unimplemented_rpcs(harness):
