@@ -70,6 +70,20 @@ class InferenceServer:
         set_global_verbosity(cfg.verbosity)
         apply_xla_env(cfg)
         _enable_compilation_cache()
+        if cfg.distributed.coordinator_address:
+            # multi-host pod-slice bring-up: after this, jax.devices()
+            # spans the slice and the (data, model) mesh can cross hosts
+            from ..parallel.mesh import initialize_distributed
+
+            initialize_distributed(
+                coordinator_address=cfg.distributed.coordinator_address,
+                num_processes=cfg.distributed.num_processes or None,
+                process_id=(
+                    cfg.distributed.process_id
+                    if cfg.distributed.process_id >= 0
+                    else None
+                ),
+            )
 
         self.observability = (
             observability

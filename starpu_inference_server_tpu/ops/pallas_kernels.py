@@ -39,6 +39,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _divisor_tile(dim: int, preferred: int, limit: int) -> int:
+    """Largest multiple-of-128 divisor of ``dim`` that is <= limit,
+    biased toward ``preferred``. Returns 0 when none exists.
+
+    Padding weights inside a jitted serving step materializes a copy of
+    the whole weight in HBM every call; when the weight dims are already
+    128-aligned (every transformer dim here), choosing divisor tiles
+    makes the pad a no-op instead.
+    """
+    if dim % 128 != 0:
+        return 0
+    best = 0
+    for mult in range(1, dim // 128 + 1):
+        tile = 128 * mult
+        if tile > limit:
+            break
+        if dim % tile == 0:
+            best = tile
+        if tile >= preferred and best >= preferred:
+            break
+    return best
+
+
+# per-tile VMEM budget for the weight operand (double-buffered by the
+# pipeline, so keep well under the ~16 MB/core VMEM)
+_W_TILE_BUDGET = 4 * 1024 * 1024
+
+
 def _matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
     k = pl.program_id(2)
 
@@ -121,8 +149,16 @@ def int8_matmul(
     scale = scale.reshape(1, n)
 
     tm = min(tile_m, _round_up(m, 8))
-    tn = min(tile_n, _round_up(n, 128))
-    tk = min(tile_k, _round_up(k, 128))
+    # prefer divisor tiles: aligned weights then need NO padding (a pad
+    # of the weight inside a jitted step copies the whole matrix in HBM
+    # every call)
+    tn = _divisor_tile(n, tile_n, 8192)
+    tk = _divisor_tile(k, tile_k, tile_k) if tn else 0
+    if tn and tk and tk * tn > _W_TILE_BUDGET:
+        tk = _divisor_tile(k, _W_TILE_BUDGET // tn, _W_TILE_BUDGET // tn) or tk
+    if not tn or not tk:
+        tn = min(tile_n, _round_up(n, 128))
+        tk = min(tile_k, _round_up(k, 128))
     mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
 
     xp = _pad2(x, mp, kp)
@@ -176,8 +212,13 @@ def int4_matmul(
     scale = scale.reshape(1, n)
 
     tm = min(tile_m, _round_up(m, 8))
-    tn = min(tile_n, _round_up(n, 128))
-    tk2 = min(tile_k // 2, _round_up(khalf, 128))  # half-K tile
+    tn = _divisor_tile(n, tile_n, 8192)
+    tk2 = _divisor_tile(khalf, tile_k // 2, tile_k // 2) if tn else 0
+    if tn and tk2 and tk2 * tn > _W_TILE_BUDGET:
+        tk2 = _divisor_tile(khalf, _W_TILE_BUDGET // tn, _W_TILE_BUDGET // tn) or tk2
+    if not tn or not tk2:
+        tn = min(tile_n, _round_up(n, 128))
+        tk2 = min(tile_k // 2, _round_up(khalf, 128))
     mp, np_ = _round_up(m, tm), _round_up(n, tn)
     kp2 = _round_up(khalf, tk2)
 

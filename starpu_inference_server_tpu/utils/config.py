@@ -151,6 +151,17 @@ class CongestionSettings:
 
 
 @dataclasses.dataclass(frozen=True)
+class DistributedSettings:
+    """Multi-host bring-up (jax.distributed.initialize). Empty
+    coordinator = single host. No reference counterpart (the reference
+    is single-node; SURVEY.md section 5.8)."""
+
+    coordinator_address: str = ""
+    num_processes: int = 0   # 0 = auto-detect
+    process_id: int = -1     # -1 = auto-detect
+
+
+@dataclasses.dataclass(frozen=True)
 class ServerSettings:
     address: str = "0.0.0.0:8001"
     max_message_bytes: int = 0  # 0 = auto-derive
@@ -181,6 +192,9 @@ class RuntimeConfig:
         default_factory=CongestionSettings
     )
     server: ServerSettings = dataclasses.field(default_factory=ServerSettings)
+    distributed: DistributedSettings = dataclasses.field(
+        default_factory=DistributedSettings
+    )
     warmup_request_nb: int = 1
     verbosity: Verbosity = Verbosity.INFO
     seed: int = 42
@@ -453,6 +467,19 @@ def _parse_server(raw: Any) -> ServerSettings:
     )
 
 
+def _parse_distributed(raw: Any) -> DistributedSettings:
+    if raw is None:
+        return DistributedSettings()
+    _check_keys(
+        "distributed", raw, ["coordinator_address", "num_processes", "process_id"]
+    )
+    return DistributedSettings(
+        coordinator_address=str(raw.get("coordinator_address", "") or ""),
+        num_processes=int(raw.get("num_processes", 0) or 0),
+        process_id=int(raw.get("process_id", -1)),
+    )
+
+
 _TOP_LEVEL_KEYS = [
     "name",
     "model",
@@ -470,6 +497,7 @@ _TOP_LEVEL_KEYS = [
     "devices",
     "congestion",
     "server",
+    "distributed",
     "warmup_request_nb",
     "verbosity",
     "seed",
@@ -537,6 +565,7 @@ def parse_config(raw: Mapping[str, Any]) -> RuntimeConfig:
         devices=_parse_devices(raw.get("devices")),
         congestion=_parse_congestion(raw.get("congestion")),
         server=_parse_server(raw.get("server")),
+        distributed=_parse_distributed(raw.get("distributed")),
         warmup_request_nb=_as_positive_int(
             "warmup_request_nb", raw.get("warmup_request_nb", 1)
         ),
