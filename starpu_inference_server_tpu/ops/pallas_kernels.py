@@ -65,6 +65,9 @@ def _divisor_tile(dim: int, preferred: int, limit: int) -> int:
 # per-tile VMEM budget for the weight operand (double-buffered by the
 # pipeline, so keep well under the ~16 MB/core VMEM)
 _W_TILE_BUDGET = 4 * 1024 * 1024
+# int4 tiles expand ~3x in scoped VMEM during the int32 nibble unpack
+# (lo/hi intermediates), so their packed-byte budget is smaller
+_W_TILE_BUDGET_INT4 = 2 * 1024 * 1024
 
 
 def _matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
@@ -214,8 +217,10 @@ def int4_matmul(
     tm = min(tile_m, _round_up(m, 8))
     tn = _divisor_tile(n, tile_n, 8192)
     tk2 = _divisor_tile(khalf, tile_k // 2, tile_k // 2) if tn else 0
-    if tn and tk2 and tk2 * tn > _W_TILE_BUDGET:
-        tk2 = _divisor_tile(khalf, _W_TILE_BUDGET // tn, _W_TILE_BUDGET // tn) or tk2
+    if tn and tk2 and tk2 * tn > _W_TILE_BUDGET_INT4:
+        tk2 = _divisor_tile(
+            khalf, _W_TILE_BUDGET_INT4 // tn, _W_TILE_BUDGET_INT4 // tn
+        )  # 0 -> generic pad path below
     if not tn or not tk2:
         tn = min(tile_n, _round_up(n, 128))
         tk2 = min(tile_k // 2, _round_up(khalf, 128))
