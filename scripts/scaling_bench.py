@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Mesh-scaling benchmark: throughput at mesh sizes 1 / 2 / 4 / ...
+
+BASELINE.json asks for scaling efficiency at 1 chip / 1 host (v5e-8) /
+2 hosts (v5e-16) with >= 90% linear 1->2 host scaling. This harness
+measures sharded-forward throughput across mesh sizes on whatever
+devices exist:
+
+- on a pod slice it reports real chips and ICI/DCN scaling;
+- with --virtual N it forces N virtual CPU devices, demonstrating the
+  TP/DP machinery end-to-end anywhere (numbers are then illustrative).
+
+Output: one JSON object with per-mesh throughput and efficiency vs
+linear.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", default="bert-base-uncased")
+    parser.add_argument("--batch-per-device", type=int, default=8)
+    parser.add_argument("--seq-len", type=int, default=128)
+    parser.add_argument("--vocab", type=int, default=30522)
+    parser.add_argument("--quant", default="int8",
+                        choices=["none", "int8", "int4"])
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--virtual", type=int, default=0,
+                        help="force N virtual CPU devices")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="model-axis size (0 = auto: min(devices, 8))")
+    args = parser.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from starpu_inference_server_tpu.models import build_model
+    from starpu_inference_server_tpu.parallel import (
+        MeshAxes,
+        make_device_mesh,
+        partition_rules_for,
+        sharded_forward,
+    )
+    from starpu_inference_server_tpu.utils.config import ModelSettings, QuantMode
+
+    n_devices = len(jax.devices())
+    model = build_model(
+        ModelSettings(
+            family=args.family,
+            compute_dtype="BF16" if not args.virtual else "FP32",
+            quantization=QuantMode(args.quant),
+            options={"seq_len": args.seq_len, "vocab_size": args.vocab},
+        ),
+        seed=0,
+    )
+    rules = partition_rules_for(args.family)
+    rng = np.random.default_rng(0)
+
+    results = {}
+    size = 1
+    sizes = []
+    while size <= n_devices:
+        sizes.append(size)
+        size *= 2
+
+    for n in sizes:
+        # auto: modest TP (2-way) and grow the data axis with devices, so
+        # throughput scaling reflects batch scaling like multi-host serving
+        tp = args.tp or min(n, 2)
+        while n % tp or (768 % tp):
+            tp //= 2
+        dp = n // tp
+        mesh = make_device_mesh(MeshAxes(data=dp, model=tp))
+        _, run = sharded_forward(model, mesh, rules)
+        batch = args.batch_per_device * dp
+        ids = rng.integers(0, args.vocab, (batch, args.seq_len)).astype(np.int64)
+        mask = np.ones_like(ids)
+        inputs = {"input_ids": ids, "attention_mask": mask}
+        out = run(inputs)
+        next(iter(out.values())).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run(inputs)
+        float(jnp.sum(next(iter(out.values()))))  # fetch = sync
+        elapsed = time.perf_counter() - t0
+        seq_s = batch * args.iters / elapsed
+        results[n] = {
+            "mesh": {"data": dp, "model": tp},
+            "sequences_per_s": round(seq_s, 2),
+        }
+
+    base = results[sizes[0]]["sequences_per_s"]
+    for n in sizes:
+        results[n]["efficiency_vs_linear"] = round(
+            results[n]["sequences_per_s"] / (base * n), 4
+        )
+    print(json.dumps({
+        "family": args.family,
+        "quant": args.quant,
+        "devices": n_devices,
+        "platform": jax.devices()[0].platform,
+        "scaling": results,
+    }, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
