@@ -179,10 +179,59 @@ def map_vit(sd, params):
     return out
 
 
+def map_llama(sd, params):
+    """HF LlamaForCausalLM / LlamaModel state dict -> our fused layout
+    (qkv and gate_up concatenated along the output axis)."""
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    out = {
+        "embed": {"w": _vec(sd[f"{pre}embed_tokens.weight"])},
+        "layers": [],
+        "final_norm": {"gamma": _vec(sd[f"{pre}norm.weight"])},
+    }
+    head_key = "lm_head.weight"
+    if head_key in sd:
+        out["lm_head"] = {"w": _fc(sd[head_key])}
+    else:  # tied embeddings
+        out["lm_head"] = {"w": _vec(sd[f"{pre}embed_tokens.weight"]).T.copy()}
+    i = 0
+    while f"{pre}layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"{pre}layers.{i}"
+        qkv = np.concatenate(
+            [
+                _fc(sd[f"{p}.self_attn.q_proj.weight"]),
+                _fc(sd[f"{p}.self_attn.k_proj.weight"]),
+                _fc(sd[f"{p}.self_attn.v_proj.weight"]),
+            ],
+            axis=1,
+        )
+        gate_up = np.concatenate(
+            [
+                _fc(sd[f"{p}.mlp.gate_proj.weight"]),
+                _fc(sd[f"{p}.mlp.up_proj.weight"]),
+            ],
+            axis=1,
+        )
+        out["layers"].append({
+            "attn_norm": {"gamma": _vec(sd[f"{p}.input_layernorm.weight"])},
+            "attn": {
+                "qkv": {"w": qkv},
+                "o": {"w": _fc(sd[f"{p}.self_attn.o_proj.weight"])},
+            },
+            "mlp_norm": {"gamma": _vec(sd[f"{p}.post_attention_layernorm.weight"])},
+            "mlp": {
+                "gate_up": {"w": gate_up},
+                "down": {"w": _fc(sd[f"{p}.mlp.down_proj.weight"])},
+            },
+        })
+        i += 1
+    return out
+
+
 MAPPERS = {
     "resnet": map_resnet,
     "bert": map_bert,
     "vit": map_vit,
+    "llama": map_llama,
 }
 
 
@@ -193,6 +242,8 @@ def mapper_for(family: str):
         return map_bert
     if family.startswith("vit"):
         return map_vit
+    if family.startswith("llama"):
+        return map_llama
     raise SystemExit(f"no state-dict mapper for family {family!r}")
 
 

@@ -101,20 +101,24 @@ def _linear(rng, cin, cout):
 
 
 def init_params(spec: DecoderSpec, rng: np.random.Generator):
+    """Param layout uses FUSED projections — qkv as one [H, (Hq+2Hkv)*D]
+    matrix and gate+up as one [H, 2*I] — so a decode step issues one
+    matmul where three (resp. two) would otherwise launch. Per-channel
+    quantization scales are per output column, so fusion commutes with
+    quantization. scripts/import_weights.py concatenates per-projection
+    checkpoints into this layout."""
+    qkv_out = (spec.q_heads + 2 * spec.kv_heads) * spec.head_dim
     layers = []
     for _ in range(spec.layers):
         layers.append({
             "attn_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
             "attn": {
-                "q": _linear(rng, spec.hidden, spec.q_heads * spec.head_dim),
-                "k": _linear(rng, spec.hidden, spec.kv_heads * spec.head_dim),
-                "v": _linear(rng, spec.hidden, spec.kv_heads * spec.head_dim),
+                "qkv": _linear(rng, spec.hidden, qkv_out),
                 "o": _linear(rng, spec.q_heads * spec.head_dim, spec.hidden),
             },
             "mlp_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
             "mlp": {
-                "gate": _linear(rng, spec.hidden, spec.intermediate),
-                "up": _linear(rng, spec.hidden, spec.intermediate),
+                "gate_up": _linear(rng, spec.hidden, 2 * spec.intermediate),
                 "down": _linear(rng, spec.intermediate, spec.hidden),
             },
         })
@@ -124,6 +128,26 @@ def init_params(spec: DecoderSpec, rng: np.random.Generator):
         "final_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
         "lm_head": _linear(rng, spec.hidden, spec.vocab),
     }
+
+
+def _project_qkv(spec: DecoderSpec, layer, h, dtype):
+    """One fused matmul -> (q, k, v) column slices."""
+    fused = nn.dense(layer["attn"]["qkv"], h, dtype)
+    dq = spec.q_heads * spec.head_dim
+    dkv = spec.kv_heads * spec.head_dim
+    return (
+        fused[..., :dq],
+        fused[..., dq : dq + dkv],
+        fused[..., dq + dkv :],
+    )
+
+
+def _fused_mlp(layer, x, dtype):
+    fused = nn.dense(layer["mlp"]["gate_up"], x, dtype)
+    inter = fused.shape[-1] // 2
+    gate, up = fused[..., :inter], fused[..., inter:]
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
+    return nn.dense(layer["mlp"]["down"], act, dtype)
 
 
 # -- building blocks -------------------------------------------------------
@@ -163,12 +187,6 @@ def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype):
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
-def _mlp(p, x, dtype):
-    gate = nn.dense(p["gate"], x, dtype)
-    up = nn.dense(p["up"], x, dtype)
-    return nn.dense(p["down"], jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up, dtype)
-
-
 # -- full (teacher-forcing) forward: the registry-visible apply ------------
 
 def forward_logits(spec: DecoderSpec, params, ids: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -179,9 +197,10 @@ def forward_logits(spec: DecoderSpec, params, ids: jnp.ndarray, dtype) -> jnp.nd
     causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
     for layer in params["layers"]:
         h = rms_norm(layer["attn_norm"], x)
-        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(b, t, spec.q_heads, spec.head_dim)
-        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(b, t, spec.kv_heads, spec.head_dim)
-        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(b, t, spec.kv_heads, spec.head_dim)
+        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+        q = qf.reshape(b, t, spec.q_heads, spec.head_dim)
+        k = kf.reshape(b, t, spec.kv_heads, spec.head_dim)
+        v = vf.reshape(b, t, spec.kv_heads, spec.head_dim)
         q = rope(q, positions)
         k = rope(k, positions)
         rep = spec.q_heads // spec.kv_heads
@@ -195,7 +214,7 @@ def forward_logits(spec: DecoderSpec, params, ids: jnp.ndarray, dtype) -> jnp.nd
         attn = attn.reshape(b, t, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _mlp(layer["mlp"], h, dtype)
+        x = x + _fused_mlp(layer, h, dtype)
     x = rms_norm(params["final_norm"], x)
     return nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
 
@@ -221,9 +240,10 @@ def prefill(
     k_new, v_new, ks_new, vs_new = [], [], [], []
     for layer in params["layers"]:
         h = rms_norm(layer["attn_norm"], x)
-        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(1, p, spec.q_heads, spec.head_dim)
-        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(1, p, spec.kv_heads, spec.head_dim)
-        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(1, p, spec.kv_heads, spec.head_dim)
+        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+        q = qf.reshape(1, p, spec.q_heads, spec.head_dim)
+        k = kf.reshape(1, p, spec.kv_heads, spec.head_dim)
+        v = vf.reshape(1, p, spec.kv_heads, spec.head_dim)
         q = rope(q, positions[None])
         k = rope(k, positions[None])
         kq, kscale = _quantize_kv(k[0])   # [P, H_kv, D], [P, H_kv]
@@ -240,7 +260,7 @@ def prefill(
         attn = attn.reshape(1, p, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _mlp(layer["mlp"], h, dtype)
+        x = x + _fused_mlp(layer, h, dtype)
 
     # write the prompt's KV into the cache slot (positions 0..P-1)
     t_max = cache.max_len
@@ -300,9 +320,10 @@ def decode_step(
 
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(layer["attn_norm"], x)
-        q = nn.dense(layer["attn"]["q"], h, dtype).reshape(s, 1, spec.q_heads, spec.head_dim)
-        k = nn.dense(layer["attn"]["k"], h, dtype).reshape(s, 1, spec.kv_heads, spec.head_dim)
-        v = nn.dense(layer["attn"]["v"], h, dtype).reshape(s, 1, spec.kv_heads, spec.head_dim)
+        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+        q = qf.reshape(s, 1, spec.q_heads, spec.head_dim)
+        k = kf.reshape(s, 1, spec.kv_heads, spec.head_dim)
+        v = vf.reshape(s, 1, spec.kv_heads, spec.head_dim)
         q = rope(q, positions[:, None])
         k = rope(k, positions[:, None])
 
@@ -344,7 +365,7 @@ def decode_step(
             ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _mlp(layer["mlp"], h, dtype)
+        x = x + _fused_mlp(layer, h, dtype)
 
     x = rms_norm(params["final_norm"], x)
     logits = nn.dense(params["lm_head"], x[:, 0], dtype).astype(jnp.float32)

@@ -54,12 +54,30 @@ _TRANSFORMER_RULES: Rules = [
 ]
 
 _TRANSFORMER_FAMILIES = re.compile(r"^(bert|vit)")
+_DECODER_FAMILIES = re.compile(r"^llama")
+
+# Fused-projection decoder layout (models/decoder.py): qkv and gate_up
+# are column-parallel, o and down row-parallel; the vocab-sized embed /
+# lm_head shard their large dim. The fused-qkv column split does not
+# align with the q|k|v block boundaries — GSPMD keeps it correct (the
+# later slices reshard), at some extra ICI traffic; a block-aligned
+# custom split is a future optimization.
+_DECODER_RULES: Rules = [
+    (r".*/attn/qkv/w$", P(None, MODEL_AXIS)),
+    (r".*/(mlp)/gate_up/w$", P(None, MODEL_AXIS)),
+    (r".*/attn/o/w$", P(MODEL_AXIS, None)),
+    (r".*/(mlp)/down/w$", P(MODEL_AXIS, None)),
+    (r".*embed/w$", P(None, MODEL_AXIS)),
+    (r".*lm_head/w$", P(None, MODEL_AXIS)),
+]
 
 
 def partition_rules_for(family: str) -> Rules:
     """Rules for a model family; non-transformer families replicate."""
     if _TRANSFORMER_FAMILIES.match(family):
         return _TRANSFORMER_RULES
+    if _DECODER_FAMILIES.match(family):
+        return _DECODER_RULES
     return []
 
 
