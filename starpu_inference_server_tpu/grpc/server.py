@@ -183,12 +183,22 @@ class InferenceServer:
                             np.ones((bucket,), np.int32), max_new_tokens=2
                         )
                 log.info("decoder warmup in %.1f ms", watch.elapsed_ms())
-        elif warmup:
-            watch = StopWatch()
-            n = self.runner.warmup()
-            log.info("warmup: %d pinned jobs in %.1f ms", n, watch.elapsed_ms())
         else:
-            self.runner.start()
+            # lane inventory (reference: server_main_worker_inventory.hpp
+            # logs every StarPU worker with type/device/affinity)
+            for lane in self.runner.lanes:
+                log.info(
+                    "lane %d: %s (buckets %s)",
+                    lane.lane_id,
+                    lane.name(),
+                    list(self.engine.buckets),
+                )
+            if warmup:
+                watch = StopWatch()
+                n = self.runner.warmup()
+                log.info("warmup: %d pinned jobs in %.1f ms", n, watch.elapsed_ms())
+            else:
+                self.runner.start()
         self.congestion.start()
         mrec = getattr(self.observability, "metrics", None)
         if mrec is not None and hasattr(mrec, "start_sampler"):
