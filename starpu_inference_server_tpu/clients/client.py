@@ -20,14 +20,14 @@ import asyncio
 import dataclasses
 import json
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import grpc
 import numpy as np
 
 from ..utils.clock import wall_ms
 from ..utils.config import TensorSpec
-from ..utils.dtypes import canonical_dtype_name, numpy_dtype
+from ..utils.dtypes import canonical_dtype_name
 from ..utils.input_generator import generate_inputs
 from ..utils.latency_statistics import summarize
 from . import _pb  # re-exported generated module

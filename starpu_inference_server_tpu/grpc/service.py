@@ -19,7 +19,7 @@ from __future__ import annotations
 import asyncio
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import grpc
 import numpy as np

@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import dataclasses
 import threading
 from collections import deque
 from functools import partial
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

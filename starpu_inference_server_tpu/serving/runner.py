@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import itertools
 import threading
-from typing import Optional, Sequence
+from typing import Optional
 
 from ..core.engine import ModelEngine
 from ..core.job import InferenceJob
