@@ -130,6 +130,7 @@ class InferenceServer:
                 num_slots=int(opts.get("num_slots", 8)),
                 max_len=int(opts.get("max_len", 512)),
                 prefill_buckets=list(opts.get("prefill_buckets", [32, 64, 128, 256])),
+                steps_per_sync=int(opts.get("steps_per_sync", 1)),
             )
         else:
             self.runner = TaskRunner(

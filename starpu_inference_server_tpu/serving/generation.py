@@ -77,6 +77,7 @@ class GenerationEngine:
         num_slots: int = 8,
         max_len: int = 512,
         prefill_buckets: Optional[List[int]] = None,
+        steps_per_sync: int = 1,
     ):
         self.spec = spec
         if jax.default_backend() == "tpu":
@@ -89,6 +90,13 @@ class GenerationEngine:
         self.dtype = dtype
         self.num_slots = num_slots
         self.max_len = max_len
+        # tokens decoded per host sync: the engine loop runs
+        # ``steps_per_sync`` decode steps inside ONE jitted call and
+        # fetches a [steps, S] token block, amortizing the host round
+        # trip. Tokens generated past a request's EOS/limit inside a
+        # block are computed-and-discarded (bounded waste, stale cache
+        # rows are reset at slot release).
+        self.steps_per_sync = max(1, int(steps_per_sync))
         self.prefill_buckets = sorted(prefill_buckets or [32, 64, 128, 256])
         self.cache: KVCache = jax.device_put(init_cache(spec, num_slots, max_len))
 
@@ -112,8 +120,22 @@ class GenerationEngine:
     # -- device fns --------------------------------------------------------
 
     def _decode_and_sample(self, params, cache, ids, active):
-        cache, logits = decode_step(self.spec, params, cache, ids, active, self.dtype)
-        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        steps = self.steps_per_sync
+        s = ids.shape[0]
+
+        def body(i, carry):
+            cache, ids, tokens = carry
+            cache, logits = decode_step(
+                self.spec, params, cache, ids, active, self.dtype
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return cache, nxt, tokens.at[i].set(nxt)
+
+        tokens0 = jnp.zeros((steps, s), jnp.int32)
+        cache, _, tokens = jax.lax.fori_loop(
+            0, steps, body, (cache, ids, tokens0)
+        )
+        return cache, tokens
 
     def _bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
@@ -128,10 +150,12 @@ class GenerationEngine:
 
     def submit(self, request: GenerationRequest) -> GenerationRequest:
         request.submitted_at = now_s()
-        if len(request.prompt_ids) + request.max_new_tokens > self.max_len:
+        headroom = self.steps_per_sync - 1  # discarded post-EOS tokens
+        if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
-                f"({request.max_new_tokens}) exceeds max context {self.max_len}"
+                f"({request.max_new_tokens}) + sync headroom({headroom}) "
+                f"exceeds max context {self.max_len}"
             )
         with self._work:
             self._pending.append(request)
@@ -238,25 +262,29 @@ class GenerationEngine:
                     ids[i] = s.last_token
                     active[i] = True
 
-        self.cache, next_tokens = self._decode(
+        self.cache, token_block = self._decode(
             self.params, self.cache, jnp.asarray(ids), jnp.asarray(active)
         )
-        tokens = np.asarray(next_tokens)  # the one host sync per step
-        self.steps += 1
+        tokens = np.asarray(token_block)  # [steps, S]: one host sync per block
+        self.steps += tokens.shape[0]
 
-        for i in range(self.num_slots):
-            if not active[i]:
-                continue
-            with self._lock:
-                state = self._slots[i]
-            if state is None:
-                continue
-            token = int(tokens[i])
-            state.last_token = token
-            state.emitted += 1
-            self._emit(state.request, token)
-            if self._finished(state):
-                self._release(i)
+        finished = set()
+        for row in tokens:
+            for i in range(self.num_slots):
+                if not active[i] or i in finished:
+                    continue
+                with self._lock:
+                    state = self._slots[i]
+                if state is None:
+                    continue
+                token = int(row[i])
+                state.last_token = token
+                state.emitted += 1
+                self._emit(state.request, token)
+                if self._finished(state):
+                    finished.add(i)
+        for i in finished:
+            self._release(i)
         return True
 
     def _emit(self, request: GenerationRequest, token: int) -> None:

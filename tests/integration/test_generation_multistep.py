@@ -1,0 +1,91 @@
+"""Multi-step decode (steps_per_sync > 1) must produce exactly the same
+tokens as single-step decoding, with fewer host syncs."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from starpu_inference_server_tpu.models.decoder import get_spec, init_params
+from starpu_inference_server_tpu.serving.generation import (
+    GenerationEngine,
+    GenerationRequest,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128, "q_heads": 4,
+                                   "kv_heads": 2, "intermediate": 256,
+                                   "vocab": 128})
+    params = init_params(spec, np.random.default_rng(0))
+    return spec, params
+
+
+def make_engine(setup, steps):
+    spec, params = setup
+    eng = GenerationEngine(
+        spec, params, dtype=jnp.float32, num_slots=2, max_len=64,
+        prefill_buckets=[8], steps_per_sync=steps,
+    )
+    eng.start()
+    return eng
+
+
+def test_multistep_tokens_match_single_step(setup):
+    prompts = [np.asarray([3, 7, 11], np.int32),
+               np.asarray([5, 2], np.int32)]
+
+    def run(steps):
+        eng = make_engine(setup, steps)
+        try:
+            reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=7)
+                    for p in prompts]
+            for r in reqs:
+                eng.submit(r)
+            return [r.result(timeout=120) for r in reqs]
+        finally:
+            eng.stop()
+
+    single = run(1)
+    multi = run(4)
+    assert multi == single
+    assert all(len(t) == 7 for t in multi)
+
+
+def test_multistep_eos_truncates(setup):
+    eng1 = make_engine(setup, 1)
+    try:
+        probe = eng1.generate(np.asarray([9, 9], np.int32), max_new_tokens=6,
+                              timeout=120)
+    finally:
+        eng1.stop()
+    # pick an eos that appears mid-stream
+    eos = probe[2]
+    eng = make_engine(setup, 4)
+    try:
+        req = GenerationRequest(
+            prompt_ids=np.asarray([9, 9], np.int32),
+            max_new_tokens=6, eos_id=eos,
+        )
+        eng.submit(req)
+        tokens = req.result(timeout=120)
+    finally:
+        eng.stop()
+    assert tokens == probe[: probe.index(eos) + 1]
+
+
+def test_headroom_enforced(setup):
+    eng = make_engine(setup, 4)
+    try:
+        with pytest.raises(ValueError):
+            # 8 + 54 + 3 headroom > 64
+            eng.submit(GenerationRequest(
+                prompt_ids=np.zeros((8,), np.int32), max_new_tokens=54
+            ))
+        # but 8 + 50 + 3 = 61 <= 64 is fine
+        eng.submit(GenerationRequest(
+            prompt_ids=np.zeros((8,), np.int32), max_new_tokens=4
+        )).result(timeout=120)
+    finally:
+        eng.stop()
