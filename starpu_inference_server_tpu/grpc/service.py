@@ -207,14 +207,25 @@ class InferenceServicer:
 
     @staticmethod
     def _generation_params(request):
-        max_new = 32
-        eos_id = None
         p = request.parameters
+        out = {
+            "max_new_tokens": 32,
+            "eos_id": None,
+            "temperature": 0.0,
+            "top_k": 0,
+            "seed": 0,
+        }
         if "max_new_tokens" in p:
-            max_new = int(p["max_new_tokens"].int64_param)
+            out["max_new_tokens"] = int(p["max_new_tokens"].int64_param)
         if "eos_id" in p:
-            eos_id = int(p["eos_id"].int64_param)
-        return max_new, eos_id
+            out["eos_id"] = int(p["eos_id"].int64_param)
+        if "temperature" in p:
+            out["temperature"] = float(p["temperature"].double_param)
+        if "top_k" in p:
+            out["top_k"] = int(p["top_k"].int64_param)
+        if "seed" in p:
+            out["seed"] = int(p["seed"].int64_param)
+        return out
 
     def _extract_prompt(self, request):
         import numpy as np
@@ -252,11 +263,14 @@ class InferenceServicer:
         obs = self.observability
         try:
             prompt = self._extract_prompt(request)
-            max_new, eos_id = self._generation_params(request)
+            gp = self._generation_params(request)
             gen = GenerationRequest(
                 prompt_ids=prompt.astype(np.int32),
-                max_new_tokens=max_new,
-                eos_id=eos_id,
+                max_new_tokens=gp["max_new_tokens"],
+                eos_id=gp["eos_id"],
+                temperature=gp["temperature"],
+                top_k=gp["top_k"],
+                seed=gp["seed"],
                 request_id=request.id or "",
             )
             self.generation_engine.submit(gen)
@@ -324,11 +338,14 @@ class InferenceServicer:
 
             try:
                 prompt = self._extract_prompt(request)
-                max_new, eos_id = self._generation_params(request)
+                gp = self._generation_params(request)
                 gen = GenerationRequest(
                     prompt_ids=prompt.astype(np.int32),
-                    max_new_tokens=max_new,
-                    eos_id=eos_id,
+                    max_new_tokens=gp["max_new_tokens"],
+                    eos_id=gp["eos_id"],
+                    temperature=gp["temperature"],
+                    top_k=gp["top_k"],
+                    seed=gp["seed"],
                     request_id=request.id or "",
                     on_token=on_token,
                 )

@@ -43,6 +43,9 @@ class GenerationRequest:
     prompt_ids: np.ndarray            # int32 [P]
     max_new_tokens: int = 32
     eos_id: Optional[int] = None
+    temperature: float = 0.0          # 0 = greedy argmax
+    top_k: int = 0                    # 0 = no top-k restriction
+    seed: int = 0
     request_id: str = ""
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
@@ -119,16 +122,43 @@ class GenerationEngine:
 
     # -- device fns --------------------------------------------------------
 
-    def _decode_and_sample(self, params, cache, ids, active):
+    def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
+                           seeds, progress):
+        """temps f32 [S] (0 = greedy), top_k int32 [S] (0 = off), seeds
+        uint32 [S], progress int32 [S] = tokens already emitted per slot.
+        The PRNG key folds (seed, absolute token position), so a request
+        samples the same tokens regardless of how the engine interleaved
+        it with other requests. Sampling happens on device; greedy slots
+        take the argmax branch via where, so mixed batches stay one
+        compiled program."""
         steps = self.steps_per_sync
         s = ids.shape[0]
+
+        def sample(logits, step_keys):
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            temp = jnp.maximum(temps, 1e-6)[:, None]
+            scaled = logits / temp
+            # top-k: mask everything below the k-th logit (per slot)
+            sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+            k_idx = jnp.clip(top_k - 1, 0, scaled.shape[-1] - 1)
+            kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+            masked = jnp.where(
+                (top_k[:, None] > 0) & (scaled < kth), -jnp.inf, scaled
+            )
+            sampled = jax.vmap(
+                lambda key, lg: jax.random.categorical(key, lg)
+            )(step_keys, masked).astype(jnp.int32)
+            return jnp.where(temps > 0, sampled, greedy)
 
         def body(i, carry):
             cache, ids, tokens = carry
             cache, logits = decode_step(
                 self.spec, params, cache, ids, active, self.dtype
             )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            step_keys = jax.vmap(
+                lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg + i)
+            )(seeds, progress)
+            nxt = sample(logits, step_keys)
             return cache, nxt, tokens.at[i].set(nxt)
 
         tokens0 = jnp.zeros((steps, s), jnp.int32)
@@ -242,7 +272,7 @@ class GenerationEngine:
             jnp.int32(len(prompt)),
             jnp.int32(slot),
         )
-        first = int(jnp.argmax(logits))
+        first = self._sample_first(np.asarray(logits), request)
         request.first_token_at = now_s()
         self._emit(request, first)
         state = _SlotState(request=request, last_token=first, emitted=1)
@@ -251,19 +281,43 @@ class GenerationEngine:
         if self._finished(state):
             self._release(slot)
 
+    @staticmethod
+    def _sample_first(logits: np.ndarray, request: GenerationRequest) -> int:
+        """Sample the prefill's first token on host (single vector)."""
+        if request.temperature <= 0:
+            return int(logits.argmax())
+        rng = np.random.default_rng(request.seed)
+        scaled = logits.astype(np.float64) / max(request.temperature, 1e-6)
+        if request.top_k > 0:
+            kth = np.sort(scaled)[-min(request.top_k, len(scaled))]
+            scaled = np.where(scaled < kth, -np.inf, scaled)
+        p = np.exp(scaled - scaled.max())
+        p /= p.sum()
+        return int(rng.choice(len(p), p=p))
+
     def _step_active(self) -> bool:
         with self._lock:
             if not any(s is not None for s in self._slots):
                 return False
             ids = np.zeros((self.num_slots,), np.int32)
             active = np.zeros((self.num_slots,), bool)
+            temps = np.zeros((self.num_slots,), np.float32)
+            top_k = np.zeros((self.num_slots,), np.int32)
+            seeds = np.zeros((self.num_slots,), np.uint32)
+            progress = np.zeros((self.num_slots,), np.int32)
             for i, s in enumerate(self._slots):
                 if s is not None:
                     ids[i] = s.last_token
                     active[i] = True
+                    temps[i] = s.request.temperature
+                    top_k[i] = s.request.top_k
+                    seeds[i] = s.request.seed & 0xFFFFFFFF
+                    progress[i] = s.emitted
 
         self.cache, token_block = self._decode(
-            self.params, self.cache, jnp.asarray(ids), jnp.asarray(active)
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(active),
+            jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
+            jnp.asarray(progress),
         )
         tokens = np.asarray(token_block)  # [steps, S]: one host sync per block
         self.steps += tokens.shape[0]

@@ -89,3 +89,41 @@ def test_headroom_enforced(setup):
         )).result(timeout=120)
     finally:
         eng.stop()
+
+
+def test_sampling_deterministic_per_seed(setup):
+    eng = make_engine(setup, 2)
+    try:
+        def gen(seed):
+            req = GenerationRequest(
+                prompt_ids=np.asarray([3, 7], np.int32),
+                max_new_tokens=6, temperature=0.8, top_k=20, seed=seed,
+            )
+            eng.submit(req)
+            return req.result(timeout=120)
+
+        a1, a2 = gen(11), gen(11)
+        b = gen(999)
+        assert a1 == a2           # same seed -> same tokens
+        greedy = eng.generate(np.asarray([3, 7], np.int32),
+                              max_new_tokens=6, timeout=120)
+        # sampled output should differ from greedy for at least one seed
+        assert (a1 != greedy) or (b != greedy)
+    finally:
+        eng.stop()
+
+
+def test_top_k_one_equals_greedy(setup):
+    eng = make_engine(setup, 2)
+    try:
+        req = GenerationRequest(
+            prompt_ids=np.asarray([5, 9], np.int32),
+            max_new_tokens=5, temperature=0.7, top_k=1, seed=3,
+        )
+        eng.submit(req)
+        sampled = req.result(timeout=120)
+        greedy = eng.generate(np.asarray([5, 9], np.int32),
+                              max_new_tokens=5, timeout=120)
+        assert sampled == greedy  # top-1 sampling is argmax
+    finally:
+        eng.stop()
