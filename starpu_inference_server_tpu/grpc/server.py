@@ -131,6 +131,7 @@ class InferenceServer:
                 max_len=int(opts.get("max_len", 512)),
                 prefill_buckets=list(opts.get("prefill_buckets", [32, 64, 128, 256])),
                 steps_per_sync=int(opts.get("steps_per_sync", 1)),
+                prefill_chunk=int(opts.get("prefill_chunk", 0)),
             )
         else:
             self.runner = TaskRunner(
@@ -183,6 +184,13 @@ class InferenceServer:
                         self.generation_engine.generate(
                             np.ones((bucket,), np.int32), max_new_tokens=2
                         )
+                chunk = self.generation_engine.prefill_chunk
+                if chunk and chunk + 3 <= self.generation_engine.max_len:
+                    # a prompt one token past the chunk size forces the
+                    # chunked-prefill executable to compile
+                    self.generation_engine.generate(
+                        np.ones((chunk + 1,), np.int32), max_new_tokens=2
+                    )
                 log.info("decoder warmup in %.1f ms", watch.elapsed_ms())
         else:
             # lane inventory (reference: server_main_worker_inventory.hpp

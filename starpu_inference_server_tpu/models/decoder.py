@@ -284,6 +284,94 @@ def prefill(
     return cache, logits.astype(jnp.float32)
 
 
+# -- chunked prefill: write one prompt chunk into a cache slot --------------
+
+def prefill_chunk(
+    spec: DecoderSpec,
+    params,
+    cache: KVCache,
+    ids: jnp.ndarray,      # int32 [C] chunk tokens (tail chunk zero-padded)
+    start: jnp.ndarray,    # int32 scalar: absolute offset of this chunk
+    valid: jnp.ndarray,    # int32 scalar: real tokens in this chunk (<= C)
+    slot: jnp.ndarray,     # int32 scalar: target slot
+    dtype,
+) -> tuple:
+    """Process ``C`` prompt tokens at absolute positions
+    ``start..start+C-1`` and write their INT8 KV into slot row
+    ``[start, start+C)``. Returns ``(cache', logits[vocab])`` where the
+    logits are for chunk row ``valid-1`` (only meaningful on the final
+    chunk).
+
+    Attention is two-part: keys before ``start`` are read back from the
+    INT8 cache row (same numerics as decode), in-chunk keys stay at
+    compute precision with a causal mask — so a single-chunk prefill is
+    numerically identical to :func:`prefill`. Chunking lets the engine
+    interleave decode blocks between chunks of a long prompt instead of
+    stalling every active sequence for the whole prompt (the reference
+    has no decoders; this serves SURVEY.md section 5.7's long-context
+    capability axis)."""
+    c = ids.shape[0]
+    t_max = cache.max_len
+    rows = jnp.arange(c, dtype=jnp.int32)
+    positions = start + rows
+    x = nn.embedding(params["embed"], ids[None, :], dtype)  # [1, C, D]
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    # past keys: everything the slot accumulated before this chunk
+    past_mask = (key_pos[None, :] < start)[None, None]          # [1,1,C→bc,T]
+    # in-chunk causal (padding rows produce garbage that is never used)
+    cur_mask = jnp.tril(jnp.ones((c, c), bool))[None, None]     # [1,1,C,C]
+    inv = 1.0 / math.sqrt(spec.head_dim)
+    rep = spec.q_heads // spec.kv_heads
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(layer["attn_norm"], x)
+        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+        q = qf.reshape(1, c, spec.q_heads, spec.head_dim)
+        k = kf.reshape(1, c, spec.kv_heads, spec.head_dim)
+        v = vf.reshape(1, c, spec.kv_heads, spec.head_dim)
+        q = rope(q, positions[None])
+        k = rope(k, positions[None])
+
+        kq, kscale = _quantize_kv(k[0])   # [C, H_kv, D], [C, H_kv]
+        vq, vscale = _quantize_kv(v[0])
+        zero = jnp.zeros((), jnp.int32)
+        cache = cache._replace(
+            k=jax.lax.dynamic_update_slice(cache.k, kq[None, None], (li, slot, start, zero, zero)),
+            v=jax.lax.dynamic_update_slice(cache.v, vq[None, None], (li, slot, start, zero, zero)),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, kscale[None, None], (li, slot, start, zero)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vscale[None, None], (li, slot, start, zero)),
+        )
+
+        # past attention over the INT8 cache row (positions < start)
+        row_k = _dequantize_kv(cache.k[li, slot], cache.k_scale[li, slot], dtype)  # [T,H,D]
+        row_v = _dequantize_kv(cache.v[li, slot], cache.v_scale[li, slot], dtype)
+        row_k = jnp.repeat(row_k, rep, axis=1)[None]
+        row_v = jnp.repeat(row_v, rep, axis=1)[None]
+        s_past = jnp.einsum("bqhd,bkhd->bhqk", q, row_k, preferred_element_type=jnp.float32) * inv
+        s_past = jnp.where(past_mask, s_past, -1e9)
+        # in-chunk attention at compute precision
+        kc = jnp.repeat(k, rep, axis=2)
+        vc = jnp.repeat(v, rep, axis=2)
+        s_cur = jnp.einsum("bqhd,bkhd->bhqk", q, kc, preferred_element_type=jnp.float32) * inv
+        s_cur = jnp.where(cur_mask, s_cur, -1e9)
+        probs = jax.nn.softmax(
+            jnp.concatenate([s_past, s_cur], axis=-1), axis=-1
+        ).astype(dtype)
+        p_past, p_cur = probs[..., :t_max], probs[..., t_max:]
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p_past, row_v, preferred_element_type=jnp.float32)
+        attn = attn + jnp.einsum("bhqk,bkhd->bqhd", p_cur, vc, preferred_element_type=jnp.float32)
+        attn = attn.reshape(1, c, spec.q_heads * spec.head_dim).astype(dtype)
+        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        h = rms_norm(layer["mlp_norm"], x)
+        x = x + _fused_mlp(layer, h, dtype)
+
+    cache = cache._replace(lengths=cache.lengths.at[slot].set(start + valid))
+    x = rms_norm(params["final_norm"], x)
+    last = x[0, valid - 1]
+    logits = nn.dense(params["lm_head"], last[None, :], dtype)[0]
+    return cache, logits.astype(jnp.float32)
+
+
 def _use_fused_decode_attention(spec: DecoderSpec, t_max: int) -> bool:
     """Route decode attention through the Pallas fused INT8-KV kernel
     (ops/decode_attention.py) when enabled and the shapes fit its tiling
@@ -329,12 +417,18 @@ def decode_step(
 
         kq, kscale = _quantize_kv(k[:, 0])  # [S, H, D], [S, H]
         vq, vscale = _quantize_kv(v[:, 0])
-        # scatter the new token at (slot s, position lengths[s])
+        # scatter the new token at (slot s, position lengths[s]); INACTIVE
+        # slots park their (discarded) write at t_max-1 so a decode block
+        # interleaved with another slot's chunked prefill can never clobber
+        # that slot's freshly written prompt rows. Position t_max-1 is safe:
+        # it is rewritten by the slot's own decode step before it is ever
+        # attended (mask is key_pos <= length, writes precede the attend).
         slot_idx = jnp.arange(s)
-        ck = cache.k.at[li, slot_idx, positions].set(kq)
-        cv = cache.v.at[li, slot_idx, positions].set(vq)
-        cks = cache.k_scale.at[li, slot_idx, positions].set(kscale)
-        cvs = cache.v_scale.at[li, slot_idx, positions].set(vscale)
+        write_pos = jnp.where(active, positions, t_max - 1)
+        ck = cache.k.at[li, slot_idx, write_pos].set(kq)
+        cv = cache.v.at[li, slot_idx, write_pos].set(vq)
+        cks = cache.k_scale.at[li, slot_idx, write_pos].set(kscale)
+        cvs = cache.v_scale.at[li, slot_idx, write_pos].set(vscale)
         cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
 
         rep = spec.q_heads // spec.kv_heads

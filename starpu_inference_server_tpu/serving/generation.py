@@ -34,6 +34,7 @@ from ..models.decoder import (
     init_cache,
     prefill,
 )
+from ..models.decoder import prefill_chunk as prefill_chunk_step
 from ..utils.clock import now_s
 from ..utils.logger import get_logger
 
@@ -71,6 +72,17 @@ class _SlotState:
     emitted: int
 
 
+@dataclasses.dataclass
+class _PrefillProgress:
+    """A chunked prefill in flight: the slot is reserved but inactive
+    (not decoded) until the last chunk lands."""
+
+    request: GenerationRequest
+    slot: int
+    prompt: np.ndarray
+    offset: int = 0
+
+
 class GenerationEngine:
     def __init__(
         self,
@@ -81,6 +93,7 @@ class GenerationEngine:
         max_len: int = 512,
         prefill_buckets: Optional[List[int]] = None,
         steps_per_sync: int = 1,
+        prefill_chunk: int = 0,
     ):
         self.spec = spec
         if jax.default_backend() == "tpu":
@@ -101,6 +114,17 @@ class GenerationEngine:
         # rows are reset at slot release).
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.prefill_buckets = sorted(prefill_buckets or [32, 64, 128, 256])
+        # chunked prefill: prompts longer than this are prefilled
+        # ``prefill_chunk`` tokens at a time, with decode blocks for the
+        # already-active slots interleaved between chunks — a long prompt
+        # stalls concurrent generation by at most one chunk's latency
+        # instead of the whole prompt. 0 disables (bucket path only).
+        self.prefill_chunk = max(0, int(prefill_chunk))
+        if self.prefill_chunk and max_len % self.prefill_chunk != 0:
+            raise ValueError(
+                f"prefill_chunk ({self.prefill_chunk}) must divide "
+                f"max_len ({max_len}) so every chunk fits the cache row"
+            )
         self.cache: KVCache = jax.device_put(init_cache(spec, num_slots, max_len))
 
         # jit: cache buffers donated -> in-place updates on device
@@ -110,6 +134,11 @@ class GenerationEngine:
         self._decode = jax.jit(
             self._decode_and_sample, donate_argnums=(1,)
         )
+        self._prefill_chunk_fn = jax.jit(
+            partial(prefill_chunk_step, spec, dtype=self.dtype),
+            donate_argnums=(1,),
+        )
+        self._prefilling: Optional[_PrefillProgress] = None
 
         self._slots: List[Optional[_SlotState]] = [None] * num_slots
         self._pending: deque = deque()
@@ -187,6 +216,16 @@ class GenerationEngine:
                 f"({request.max_new_tokens}) + sync headroom({headroom}) "
                 f"exceeds max context {self.max_len}"
             )
+        if not self.prefill_chunk and (
+            len(request.prompt_ids) > self.prefill_buckets[-1]
+        ):
+            # fail at the door (INVALID_ARGUMENT), not inside the engine
+            # loop where it would take down unrelated requests
+            raise ValueError(
+                f"prompt length {len(request.prompt_ids)} exceeds largest "
+                f"prefill bucket {self.prefill_buckets[-1]} and chunked "
+                f"prefill is disabled (set prefill_chunk)"
+            )
         with self._work:
             self._pending.append(request)
             self._work.notify()
@@ -241,6 +280,9 @@ class GenerationEngine:
             with self._lock:
                 failures = [s.request for s in self._slots if s is not None]
                 failures.extend(self._pending)
+                if self._prefilling is not None:
+                    failures.append(self._prefilling.request)
+                    self._prefilling = None
                 self._pending.clear()
                 self._slots = [None] * self.num_slots
             for req in failures:
@@ -248,6 +290,11 @@ class GenerationEngine:
                 req.done.set()
 
     def _admit_pending(self) -> bool:
+        # an in-flight chunked prefill advances exactly one chunk per loop
+        # iteration; the decode block for active slots runs in between
+        if self._prefilling is not None:
+            self._advance_chunk(self._prefilling)
+            return True
         admitted = False
         while True:
             with self._lock:
@@ -257,8 +304,48 @@ class GenerationEngine:
                 if free is None or not self._pending:
                     return admitted
                 request = self._pending.popleft()
-            self._prefill_into(free, request)
             admitted = True
+            prompt = np.asarray(request.prompt_ids, np.int32)
+            try:
+                if self.prefill_chunk and (
+                    len(prompt) > self.prefill_chunk
+                    or len(prompt) > self.prefill_buckets[-1]
+                ):
+                    self._prefilling = _PrefillProgress(
+                        request=request, slot=free, prompt=prompt
+                    )
+                    self._advance_chunk(self._prefilling)
+                    return True
+                self._prefill_into(free, request)
+            except BaseException as exc:  # noqa: BLE001
+                # the request is out of _pending and not yet in a slot: fail
+                # it here or its done event is never set. Per-request
+                # validation errors (ValueError) are contained — the engine
+                # keeps serving; anything else still aborts the engine.
+                self._prefilling = None
+                request.error = exc
+                request.done.set()
+                if not isinstance(exc, ValueError):
+                    raise
+
+    def _advance_chunk(self, pf: _PrefillProgress) -> None:
+        c = self.prefill_chunk
+        chunk = pf.prompt[pf.offset : pf.offset + c]
+        valid = len(chunk)
+        padded = np.zeros((c,), np.int32)
+        padded[:valid] = chunk
+        self.cache, logits = self._prefill_chunk_fn(
+            self.params,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.int32(pf.offset),
+            jnp.int32(valid),
+            jnp.int32(pf.slot),
+        )
+        pf.offset += valid
+        if pf.offset >= len(pf.prompt):
+            self._prefilling = None
+            self._finish_prefill(pf.slot, pf.request, np.asarray(logits))
 
     def _prefill_into(self, slot: int, request: GenerationRequest) -> None:
         prompt = np.asarray(request.prompt_ids, np.int32)
@@ -272,7 +359,12 @@ class GenerationEngine:
             jnp.int32(len(prompt)),
             jnp.int32(slot),
         )
-        first = self._sample_first(np.asarray(logits), request)
+        self._finish_prefill(slot, request, np.asarray(logits))
+
+    def _finish_prefill(
+        self, slot: int, request: GenerationRequest, logits: np.ndarray
+    ) -> None:
+        first = self._sample_first(logits, request)
         request.first_token_at = now_s()
         self._emit(request, first)
         state = _SlotState(request=request, last_token=first, emitted=1)
