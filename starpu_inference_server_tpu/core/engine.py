@@ -54,7 +54,9 @@ class ModelEngine:
         self.devices: List[jax.Device] = all_devices
         self.platform = self.devices[0].platform
 
-        if self.platform == "tpu":
+        if self.platform == "tpu" and cfg.devices.mesh.size <= 1:
+            # Pallas fused kernels are single-device programs; in mesh
+            # mode GSPMD partitions the XLA dequant+dot path instead
             from ..ops import nn
             from ..ops.quant import pack_int4_tree
             from ..utils.config import QuantMode
@@ -81,7 +83,8 @@ class ModelEngine:
             )
 
             self.mesh = make_device_mesh(
-                MeshAxes(data=mesh_cfg.data, model=mesh_cfg.model),
+                MeshAxes(data=mesh_cfg.data, model=mesh_cfg.model,
+                         expert=mesh_cfg.expert),
                 devices=self.devices,
             )
             rules = partition_rules_for(model.definition.family)

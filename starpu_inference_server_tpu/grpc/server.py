@@ -132,6 +132,8 @@ class InferenceServer:
                 prefill_buckets=list(opts.get("prefill_buckets", [32, 64, 128, 256])),
                 steps_per_sync=int(opts.get("steps_per_sync", 1)),
                 prefill_chunk=int(opts.get("prefill_chunk", 0)),
+                mesh=self.engine.mesh,  # None = single-device decoding
+                family=cfg.model.family,
             )
         else:
             self.runner = TaskRunner(

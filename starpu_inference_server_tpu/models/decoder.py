@@ -37,14 +37,21 @@ from ..ops import nn
 from ..utils.config import TensorSpec
 from .registry import ModelDefinition, register_family
 
-# variant -> (hidden, layers, q_heads, kv_heads, intermediate, vocab)
+# variant -> (hidden, layers, q_heads, kv_heads, intermediate, vocab,
+#             num_experts, experts_per_token); num_experts 0 = dense MLP
 _VARIANTS = {
     # tiny config for tests/CI
-    "llama-tiny": (256, 4, 8, 4, 688, 2048),
+    "llama-tiny": (256, 4, 8, 4, 688, 2048, 0, 2),
     # ~1B class
-    "llama-1b": (2048, 16, 32, 8, 5504, 32000),
+    "llama-1b": (2048, 16, 32, 8, 5504, 32000, 0, 2),
     # ~7B class (llama-2-7b shapes)
-    "llama-7b": (4096, 32, 32, 32, 11008, 32000),
+    "llama-7b": (4096, 32, 32, 32, 11008, 32000, 0, 2),
+    # MoE decoders (mixtral-style routed SwiGLU experts, top-2)
+    "moe-tiny": (256, 4, 8, 4, 688, 2048, 4, 2),
+    # ~8x1B class
+    "moe-8x1b": (2048, 16, 32, 8, 5504, 32000, 8, 2),
+    # mixtral-8x7b shapes
+    "mixtral-8x7b": (4096, 32, 32, 8, 14336, 32000, 8, 2),
 }
 
 ROPE_THETA = 10000.0
@@ -58,10 +65,24 @@ class DecoderSpec:
     kv_heads: int
     intermediate: int
     vocab: int
+    # mixture-of-experts MLP (0 experts = dense SwiGLU)
+    num_experts: int = 0
+    experts_per_token: int = 2
+
+    def __post_init__(self):
+        if self.num_experts and self.experts_per_token > self.num_experts:
+            raise ValueError(
+                f"experts_per_token ({self.experts_per_token}) cannot "
+                f"exceed num_experts ({self.num_experts})"
+            )
 
     @property
     def head_dim(self) -> int:
         return self.hidden // self.q_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
 
 class KVCache(NamedTuple):
@@ -110,6 +131,29 @@ def init_params(spec: DecoderSpec, rng: np.random.Generator):
     qkv_out = (spec.q_heads + 2 * spec.kv_heads) * spec.head_dim
     layers = []
     for _ in range(spec.layers):
+        if spec.is_moe:
+            # stacked expert tensors [E, in, out]: one einsum computes every
+            # LOCAL expert (the E axis shards over the mesh 'expert' axis),
+            # instead of E small matmuls that XLA can't batch
+            e = spec.num_experts
+            scale_g = 1.0 / math.sqrt(spec.hidden)
+            scale_d = 1.0 / math.sqrt(spec.intermediate)
+            mlp = {
+                "router": _linear(rng, spec.hidden, e),
+                "experts": {
+                    "gate_up": {"w": (rng.standard_normal(
+                        (e, spec.hidden, 2 * spec.intermediate)) * scale_g
+                    ).astype(np.float32)},
+                    "down": {"w": (rng.standard_normal(
+                        (e, spec.intermediate, spec.hidden)) * scale_d
+                    ).astype(np.float32)},
+                },
+            }
+        else:
+            mlp = {
+                "gate_up": _linear(rng, spec.hidden, 2 * spec.intermediate),
+                "down": _linear(rng, spec.intermediate, spec.hidden),
+            }
         layers.append({
             "attn_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
             "attn": {
@@ -117,10 +161,7 @@ def init_params(spec: DecoderSpec, rng: np.random.Generator):
                 "o": _linear(rng, spec.q_heads * spec.head_dim, spec.hidden),
             },
             "mlp_norm": {"gamma": np.ones((spec.hidden,), np.float32)},
-            "mlp": {
-                "gate_up": _linear(rng, spec.hidden, 2 * spec.intermediate),
-                "down": _linear(rng, spec.intermediate, spec.hidden),
-            },
+            "mlp": mlp,
         })
     return {
         "embed": {"w": (rng.standard_normal((spec.vocab, spec.hidden)) * 0.02).astype(np.float32)},
@@ -148,6 +189,50 @@ def _fused_mlp(layer, x, dtype):
     gate, up = fused[..., :inter], fused[..., inter:]
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
     return nn.dense(layer["mlp"]["down"], act, dtype)
+
+
+def _moe_mlp(spec: DecoderSpec, layer, x, dtype):
+    """Mixtral-style routed SwiGLU MoE, dense-dispatch form.
+
+    TPU-first design: instead of gather/scatter token routing (dynamic
+    shapes XLA can't tile), every expert computes every token through ONE
+    batched einsum over the stacked [E, in, out] weights and the top-k
+    routing weights zero out the rest in the combine einsum. Under
+    expert-parallel sharding (partition.py shards the E axis over the
+    mesh 'expert' axis) each device touches only its local experts' HBM
+    and the combine's E-reduction becomes the single psum GSPMD inserts.
+    No reference counterpart (encoder models only; SURVEY.md section 2.9
+    lists EP as a TPU-native extension axis)."""
+    moe = layer["mlp"]
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1])  # [T, H]
+    logits = nn.dense(moe["router"], xf, dtype).astype(jnp.float32)  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(probs, spec.experts_per_token)  # [T, k]
+    vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    combine = jnp.sum(
+        jax.nn.one_hot(idx, spec.num_experts, dtype=jnp.float32)
+        * vals[..., None],
+        axis=1,
+    )  # [T, E]
+    wg = nn.resolve_weight(moe["experts"]["gate_up"]["w"], dtype)  # [E,H,2I]
+    wd = nn.resolve_weight(moe["experts"]["down"]["w"], dtype)     # [E,I,H]
+    h = jnp.einsum(
+        "th,ehf->etf", xf.astype(dtype), wg, preferred_element_type=jnp.float32
+    )
+    inter = h.shape[-1] // 2
+    act = (jax.nn.silu(h[..., :inter]) * h[..., inter:]).astype(dtype)
+    y = jnp.einsum("eti,eih->eth", act, wd, preferred_element_type=jnp.float32)
+    y = jnp.einsum("te,eth->th", combine, y)  # reduce over E: EP's one psum
+    return y.reshape(*lead, x.shape[-1]).astype(dtype)
+
+
+def _mlp_block(spec: DecoderSpec, layer, x, dtype):
+    """Dense or routed MLP, decided by the param-tree structure (static
+    under jit)."""
+    if "router" in layer["mlp"]:
+        return _moe_mlp(spec, layer, x, dtype)
+    return _fused_mlp(layer, x, dtype)
 
 
 # -- building blocks -------------------------------------------------------
@@ -214,7 +299,7 @@ def forward_logits(spec: DecoderSpec, params, ids: jnp.ndarray, dtype) -> jnp.nd
         attn = attn.reshape(b, t, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _fused_mlp(layer, h, dtype)
+        x = x + _mlp_block(spec, layer, h, dtype)
     x = rms_norm(params["final_norm"], x)
     return nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
 
@@ -260,7 +345,7 @@ def prefill(
         attn = attn.reshape(1, p, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _fused_mlp(layer, h, dtype)
+        x = x + _mlp_block(spec, layer, h, dtype)
 
     # write the prompt's KV into the cache slot (positions 0..P-1)
     t_max = cache.max_len
@@ -363,7 +448,7 @@ def prefill_chunk(
         attn = attn.reshape(1, c, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _fused_mlp(layer, h, dtype)
+        x = x + _mlp_block(spec, layer, h, dtype)
 
     cache = cache._replace(lengths=cache.lengths.at[slot].set(start + valid))
     x = rms_norm(params["final_norm"], x)
@@ -459,7 +544,7 @@ def decode_step(
             ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        x = x + _fused_mlp(layer, h, dtype)
+        x = x + _mlp_block(spec, layer, h, dtype)
 
     x = rms_norm(params["final_norm"], x)
     logits = nn.dense(params["lm_head"], x[:, 0], dtype).astype(jnp.float32)
@@ -470,7 +555,7 @@ def decode_step(
 # -- registry glue ---------------------------------------------------------
 
 def get_spec(variant: str, options) -> DecoderSpec:
-    hidden, layers, qh, kvh, inter, vocab = _VARIANTS[variant]
+    hidden, layers, qh, kvh, inter, vocab, experts, top_k = _VARIANTS[variant]
     return DecoderSpec(
         hidden=int(options.get("hidden", hidden)),
         layers=int(options.get("layers", layers)),
@@ -478,6 +563,8 @@ def get_spec(variant: str, options) -> DecoderSpec:
         kv_heads=int(options.get("kv_heads", kvh)),
         intermediate=int(options.get("intermediate", inter)),
         vocab=int(options.get("vocab", vocab)),
+        num_experts=int(options.get("num_experts", experts)),
+        experts_per_token=int(options.get("experts_per_token", top_k)),
     )
 
 

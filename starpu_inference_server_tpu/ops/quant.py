@@ -132,6 +132,23 @@ def maybe_quantize_tree(params, bits: Optional[int], axis: int = -1):
                     and jnp.issubdtype(value.dtype, jnp.floating)
                     and value.ndim >= 2
                 ):
+                    if value.ndim == 3 and axis in (-1, 2):
+                        # stacked [E, in, out] (MoE experts): reduce only
+                        # the contraction axis so scales stay per-(expert,
+                        # column) -> scale [E, 1, out]
+                        w = value.astype(jnp.float32)
+                        qmax = 127.0 if bits == 8 else 7.0
+                        absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+                        scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+                        w_q = jnp.clip(
+                            jnp.round(w / scale), -qmax, qmax
+                        ).astype(jnp.int8)
+                        out[key] = {
+                            "w_q": w_q,
+                            "scale": scale.astype(jnp.float32),
+                            "bits": bits,
+                        }
+                        continue
                     w_q, scale = quantize_per_channel(value, bits=bits, axis=axis)
                     out[key] = {"w_q": w_q, "scale": scale, "bits": bits}
                 else:

@@ -10,6 +10,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+EXPERT_AXIS = "expert"
 MODEL_AXIS = "model"
 
 
@@ -17,31 +18,36 @@ MODEL_AXIS = "model"
 class MeshAxes:
     data: int = 1
     model: int = 1
+    expert: int = 1
 
     @property
     def size(self) -> int:
-        return self.data * self.model
+        return self.data * self.expert * self.model
 
 
 def make_device_mesh(
     axes: MeshAxes,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh.
+    """Build a (data, expert, model) mesh.
 
     Axis-order rationale (scaling-book recipe): the model/tensor axis is
     the minor (fastest-varying) axis so TP collectives ride contiguous
-    ICI neighbors; the data axis spans hosts where only per-batch
-    all-reduces (none at inference) or nothing crosses DCN.
+    ICI neighbors; the expert axis (MoE all-to-all/psum traffic) sits
+    between; the data axis spans hosts where only per-batch all-reduces
+    (none at inference) or nothing crosses DCN.
     """
     devs = list(devices) if devices is not None else jax.devices()
     if axes.size > len(devs):
         raise ValueError(
-            f"mesh of size {axes.size} (data={axes.data} x model={axes.model}) "
-            f"needs more than the {len(devs)} available devices"
+            f"mesh of size {axes.size} (data={axes.data} x expert="
+            f"{axes.expert} x model={axes.model}) needs more than the "
+            f"{len(devs)} available devices"
         )
-    grid = np.asarray(devs[: axes.size]).reshape(axes.data, axes.model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    grid = np.asarray(devs[: axes.size]).reshape(
+        axes.data, axes.expert, axes.model
+    )
+    return Mesh(grid, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
 
 
 def initialize_distributed(

@@ -25,7 +25,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.quant import is_packed_int4_leaf, is_quantized_leaf
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 
 def _is_opaque_leaf(node) -> bool:
@@ -54,7 +54,7 @@ _TRANSFORMER_RULES: Rules = [
 ]
 
 _TRANSFORMER_FAMILIES = re.compile(r"^(bert|vit)")
-_DECODER_FAMILIES = re.compile(r"^llama")
+_DECODER_FAMILIES = re.compile(r"^(llama|moe|mixtral)")
 
 # Fused-projection decoder layout (models/decoder.py): qkv and gate_up
 # are column-parallel, o and down row-parallel; the vocab-sized embed /
@@ -64,6 +64,15 @@ _DECODER_FAMILIES = re.compile(r"^llama")
 # custom split is a future optimization.
 _DECODER_RULES: Rules = [
     (r".*/attn/qkv/w$", P(None, MODEL_AXIS)),
+    # MoE stacked experts [E, in, out]: expert-parallel over the 'expert'
+    # mesh axis (each device holds + computes only its local experts; the
+    # combine einsum's E-reduction becomes one psum), tensor-parallel
+    # inside each expert over 'model' (column-/row-split like the dense
+    # gate_up/down). The router replicates (it is tiny and every device
+    # needs all routing weights).
+    (r".*/mlp/experts/gate_up/w$", P(EXPERT_AXIS, None, MODEL_AXIS)),
+    (r".*/mlp/experts/down/w$", P(EXPERT_AXIS, MODEL_AXIS, None)),
+    (r".*/mlp/router/w$", P()),
     (r".*/(mlp)/gate_up/w$", P(None, MODEL_AXIS)),
     (r".*/attn/o/w$", P(MODEL_AXIS, None)),
     (r".*/(mlp)/down/w$", P(MODEL_AXIS, None)),
@@ -121,15 +130,18 @@ def _map_with_paths(node: Any, fn, prefix: str = ""):
 
 
 def _quant_specs(spec: P, leaf) -> Tuple[P, P]:
-    """A quantized leaf {w_q, scale} shards w_q like the dense weight and
-    the per-channel scale along the same (last-dim) axis."""
-    w_spec = spec
-    # scale has shape (1, ..., C): shard only its last axis if the weight
-    # spec shards its last axis
-    last = spec[-1] if len(spec) else None
-    scale_dims = leaf["scale"].ndim
-    scale_spec = P(*([None] * (scale_dims - 1) + [last])) if scale_dims else P()
-    return w_spec, scale_spec
+    """A quantized leaf {w_q, scale} shards w_q like the dense weight; the
+    scale keeps the weight spec on every axis where it has real extent and
+    replicates its size-1 (reduced) axes — e.g. 2D scale [1, C] shards
+    only the channel axis, 3D MoE scale [E, 1, C] shards expert + channel."""
+    scale = leaf["scale"]
+    if not getattr(scale, "ndim", 0):
+        return spec, P()
+    entries = list(spec) + [None] * max(0, scale.ndim - len(spec))
+    scale_spec = P(*[
+        entries[i] if scale.shape[i] != 1 else None for i in range(scale.ndim)
+    ])
+    return spec, scale_spec
 
 
 def shard_params(params: Any, mesh: Mesh, rules: Rules) -> Any:

@@ -94,15 +94,45 @@ class GenerationEngine:
         prefill_buckets: Optional[List[int]] = None,
         steps_per_sync: int = 1,
         prefill_chunk: int = 0,
+        mesh=None,
+        family: str = "llama",
     ):
+        """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
+        weights shard tensor-/expert-parallel per partition.py rules, the
+        KV cache and per-slot vectors shard their slot dim over the
+        ``data`` axis (slots are independent, so slot-sharding is the
+        decoder analogue of batch data-parallelism), and GSPMD inserts
+        the collectives. Pallas fused kernels are single-device programs,
+        so mesh mode keeps the XLA dequant+dot path."""
         self.spec = spec
-        if jax.default_backend() == "tpu":
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.partition import shard_params
+
+            data_size = mesh.shape.get(DATA_AXIS, 1)
+            if num_slots % data_size != 0:
+                raise ValueError(
+                    f"num_slots ({num_slots}) must be divisible by the "
+                    f"mesh data axis ({data_size}) to shard the KV slots"
+                )
+            from ..parallel.partition import partition_rules_for
+
+            rules = partition_rules_for(family)
+            self.params = shard_params(params, mesh, rules)
+            self._slot_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            self._cache_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        elif jax.default_backend() == "tpu":
             from ..ops import nn
             from ..ops.quant import pack_int4_tree
 
             nn.set_use_pallas(True)
             params = pack_int4_tree(params)
-        self.params = jax.device_put(params)
+            self.params = jax.device_put(params)
+        else:
+            self.params = jax.device_put(params)
         self.dtype = dtype
         self.num_slots = num_slots
         self.max_len = max_len
@@ -125,7 +155,17 @@ class GenerationEngine:
                 f"prefill_chunk ({self.prefill_chunk}) must divide "
                 f"max_len ({max_len}) so every chunk fits the cache row"
             )
-        self.cache: KVCache = jax.device_put(init_cache(spec, num_slots, max_len))
+        cache0 = init_cache(spec, num_slots, max_len)
+        if mesh is not None:
+            self.cache: KVCache = KVCache(
+                k=jax.device_put(cache0.k, self._cache_sharding),
+                v=jax.device_put(cache0.v, self._cache_sharding),
+                k_scale=jax.device_put(cache0.k_scale, self._cache_sharding),
+                v_scale=jax.device_put(cache0.v_scale, self._cache_sharding),
+                lengths=jax.device_put(cache0.lengths, self._slot_sharding),
+            )
+        else:
+            self.cache = jax.device_put(cache0)
 
         # jit: cache buffers donated -> in-place updates on device
         self._prefill = jax.jit(
