@@ -84,7 +84,7 @@ class ModelEngine:
 
             self.mesh = make_device_mesh(
                 MeshAxes(data=mesh_cfg.data, model=mesh_cfg.model,
-                         expert=mesh_cfg.expert),
+                         expert=mesh_cfg.expert, pipe=mesh_cfg.pipe),
                 devices=self.devices,
             )
             rules = partition_rules_for(model.definition.family)

@@ -11,11 +11,15 @@ collectives.
 
 from .mesh import MeshAxes, make_device_mesh
 from .partition import partition_rules_for, shard_params, sharded_forward
+from .pipeline import pipeline_forward, pipelined_decoder_logits, stack_layers
 
 __all__ = [
     "MeshAxes",
     "make_device_mesh",
     "partition_rules_for",
+    "pipeline_forward",
+    "pipelined_decoder_logits",
     "shard_params",
     "sharded_forward",
+    "stack_layers",
 ]

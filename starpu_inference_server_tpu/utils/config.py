@@ -96,10 +96,11 @@ class MeshSettings:
     data: int = 1
     model: int = 1
     expert: int = 1
+    pipe: int = 1
 
     @property
     def size(self) -> int:
-        return self.data * self.model * self.expert
+        return self.data * self.model * self.expert * self.pipe
 
 
 @dataclasses.dataclass(frozen=True)
@@ -346,11 +347,12 @@ def _parse_devices(raw: Any) -> DeviceSettings:
     allowed = ["use_tpu", "device_ids", "lanes_per_device", "scheduler", "mesh"]
     _check_keys("devices", raw, allowed)
     mesh_raw = raw.get("mesh") or {}
-    _check_keys("devices.mesh", mesh_raw, ["data", "model", "expert"])
+    _check_keys("devices.mesh", mesh_raw, ["data", "model", "expert", "pipe"])
     mesh = MeshSettings(
         data=_as_positive_int("devices.mesh.data", mesh_raw.get("data", 1)),
         model=_as_positive_int("devices.mesh.model", mesh_raw.get("model", 1)),
         expert=_as_positive_int("devices.mesh.expert", mesh_raw.get("expert", 1)),
+        pipe=_as_positive_int("devices.mesh.pipe", mesh_raw.get("pipe", 1)),
     )
     ids = raw.get("device_ids", []) or []
     if not isinstance(ids, list) or not all(

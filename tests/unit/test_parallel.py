@@ -22,11 +22,11 @@ from starpu_inference_server_tpu.utils.config import ModelSettings, QuantMode
 
 def test_mesh_shapes():
     mesh = make_device_mesh(MeshAxes(data=4, model=2))
-    assert mesh.shape == {"data": 4, "expert": 1, "model": 2}
+    assert mesh.shape == {"data": 4, "pipe": 1, "expert": 1, "model": 2}
     mesh = make_device_mesh(MeshAxes(data=1, model=8))
-    assert mesh.shape == {"data": 1, "expert": 1, "model": 8}
+    assert mesh.shape == {"data": 1, "pipe": 1, "expert": 1, "model": 8}
     mesh = make_device_mesh(MeshAxes(data=1, expert=4, model=2))
-    assert mesh.shape == {"data": 1, "expert": 4, "model": 2}
+    assert mesh.shape == {"data": 1, "pipe": 1, "expert": 4, "model": 2}
 
 
 def test_mesh_too_large_raises():
