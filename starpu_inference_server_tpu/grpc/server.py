@@ -123,6 +123,36 @@ class InferenceServer:
 
             opts = cfg.model.options
             spec = get_spec(cfg.model.family, opts)
+            # speculative decoding: options.draft_variant names a smaller
+            # decoder family whose greedy drafts the target verifies in
+            # windows of speculate_k (+1 bonus) tokens per forward
+            draft_spec = None
+            draft_params = None
+            draft_variant = opts.get("draft_variant", "")
+            if draft_variant:
+                import numpy as _np
+
+                from ..models.registry import get_family, load_params
+                from ..ops.quant import maybe_quantize_tree
+                from ..utils.config import QuantMode
+
+                draft_opts = dict(opts.get("draft_options", {}))
+                draft_opts.setdefault("vocab", spec.vocab)
+                draft_spec = get_spec(draft_variant, draft_opts)
+                draft_src = opts.get("draft_params", "random")
+                if draft_src == "random":
+                    draft_def = get_family(draft_variant, draft_opts)
+                    draft_params = draft_def.init_params(
+                        _np.random.default_rng(cfg.seed + 1)
+                    )
+                else:
+                    draft_params = load_params(draft_src)
+                bits = {
+                    QuantMode.NONE: None,
+                    QuantMode.INT8: 8,
+                    QuantMode.INT4: 4,
+                }[cfg.model.quantization]
+                draft_params = maybe_quantize_tree(draft_params, bits)
             self.generation_engine = GenerationEngine(
                 spec,
                 model.params,
@@ -134,6 +164,9 @@ class InferenceServer:
                 prefill_chunk=int(opts.get("prefill_chunk", 0)),
                 mesh=self.engine.mesh,  # None = single-device decoding
                 family=cfg.model.family,
+                draft_spec=draft_spec,
+                draft_params=draft_params,
+                speculate_k=int(opts.get("speculate_k", 4)),
             )
         else:
             self.runner = TaskRunner(

@@ -552,6 +552,91 @@ def decode_step(
     return cache._replace(lengths=new_lengths), logits
 
 
+# -- verify: score a window of draft tokens against the target model -------
+
+def verify_step(
+    spec: DecoderSpec,
+    params,
+    cache: KVCache,
+    ids: jnp.ndarray,      # int32 [S, W]: row i's token sits at lengths+i
+    active: jnp.ndarray,   # bool [S]
+    dtype,
+) -> tuple:
+    """Speculative-decoding verification forward: advance every active
+    slot ``W`` tokens in ONE call and return the logits after each.
+
+    Returns ``(cache', logits [S, W, vocab])``. KV for all ``W``
+    positions is written (rows ``lengths .. lengths+W-1``), but
+    ``lengths`` is NOT advanced — the caller commits only the accepted
+    prefix by setting ``lengths``; stale rows past the commit point are
+    overwritten by that slot's next write before they can be attended
+    (the same mask/write ordering argument as :func:`decode_step`).
+
+    Numerics match ``decode_step`` run sequentially: every key/value —
+    including the in-window ones — round-trips the INT8 cache before it
+    is attended, so greedy acceptance compares like against like.
+
+    No reference counterpart (the reference serves encoder models only,
+    SURVEY.md section 5.7); this is the continuous-batching extension's
+    speculative-decoding lever.
+    """
+    s, w = ids.shape
+    start = cache.lengths
+    rows = jnp.arange(w, dtype=jnp.int32)
+    positions = start[:, None] + rows[None, :]              # [S, W]
+    x = nn.embedding(params["embed"], ids, dtype)           # [S, W, D]
+    t_max = cache.max_len
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    # query row i attends cache positions <= lengths+i: the past plus the
+    # in-window tokens written earlier this step
+    mask = (key_pos[None, None, None, :] <= positions[:, None, :, None])
+    slot_idx = jnp.arange(s)
+    # inactive slots park their (discarded) writes at t_max-1, exactly
+    # like decode_step, so they can never clobber a live row
+    write_pos = jnp.where(active[:, None], positions, t_max - 1)  # [S, W]
+    inv = 1.0 / math.sqrt(spec.head_dim)
+    rep = spec.q_heads // spec.kv_heads
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(layer["attn_norm"], x)
+        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+        q = qf.reshape(s, w, spec.q_heads, spec.head_dim)
+        k = kf.reshape(s, w, spec.kv_heads, spec.head_dim)
+        v = vf.reshape(s, w, spec.kv_heads, spec.head_dim)
+        q = rope(q, positions)
+        k = rope(k, positions)
+
+        kq, kscale = _quantize_kv(k)   # [S, W, H, D], [S, W, H]
+        vq, vscale = _quantize_kv(v)
+        sl = slot_idx[:, None]
+        cache = cache._replace(
+            k=cache.k.at[li, sl, write_pos].set(kq),
+            v=cache.v.at[li, sl, write_pos].set(vq),
+            k_scale=cache.k_scale.at[li, sl, write_pos].set(kscale),
+            v_scale=cache.v_scale.at[li, sl, write_pos].set(vscale),
+        )
+
+        k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
+        v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+        k_all = jnp.repeat(k_all, rep, axis=2)  # [S, T, Hq, D]
+        v_all = jnp.repeat(v_all, rep, axis=2)
+        logits = jnp.einsum(
+            "swhd,skhd->shwk", q, k_all, preferred_element_type=jnp.float32
+        ) * inv
+        logits = jnp.where(mask, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        attn = jnp.einsum(
+            "shwk,skhd->swhd", probs, v_all, preferred_element_type=jnp.float32
+        ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
+        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        h = rms_norm(layer["mlp_norm"], x)
+        x = x + _mlp_block(spec, layer, h, dtype)
+
+    x = rms_norm(params["final_norm"], x)
+    logits = nn.dense(params["lm_head"], x.reshape(s * w, -1), dtype)
+    return cache, logits.reshape(s, w, spec.vocab).astype(jnp.float32)
+
+
 # -- registry glue ---------------------------------------------------------
 
 def get_spec(variant: str, options) -> DecoderSpec:

@@ -33,10 +33,29 @@ from ..models.decoder import (
     decode_step,
     init_cache,
     prefill,
+    verify_step,
 )
 from ..models.decoder import prefill_chunk as prefill_chunk_step
 from ..utils.clock import now_s
 from ..utils.logger import get_logger
+
+
+def _sample_tokens(logits, temps, top_k, step_keys):
+    """Per-slot token selection on device: greedy argmax where
+    temperature is 0, temperature/top-k categorical sampling elsewhere.
+    logits f32 [S, V], temps f32 [S], top_k int32 [S], step_keys [S]."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(temps, 1e-6)[:, None]
+    scaled = logits / temp
+    # top-k: mask everything below the k-th logit (per slot)
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(top_k - 1, 0, scaled.shape[-1] - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    masked = jnp.where((top_k[:, None] > 0) & (scaled < kth), -jnp.inf, scaled)
+    sampled = jax.vmap(
+        lambda key, lg: jax.random.categorical(key, lg)
+    )(step_keys, masked).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
 
 
 @dataclasses.dataclass
@@ -96,6 +115,9 @@ class GenerationEngine:
         prefill_chunk: int = 0,
         mesh=None,
         family: str = "llama",
+        draft_spec: Optional[DecoderSpec] = None,
+        draft_params=None,
+        speculate_k: int = 4,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
         weights shard tensor-/expert-parallel per partition.py rules, the
@@ -106,11 +128,11 @@ class GenerationEngine:
         so mesh mode keeps the XLA dequant+dot path."""
         self.spec = spec
         self.mesh = mesh
+        self._family = family
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import DATA_AXIS
-            from ..parallel.partition import shard_params
 
             data_size = mesh.shape.get(DATA_AXIS, 1)
             if num_slots % data_size != 0:
@@ -118,21 +140,9 @@ class GenerationEngine:
                     f"num_slots ({num_slots}) must be divisible by the "
                     f"mesh data axis ({data_size}) to shard the KV slots"
                 )
-            from ..parallel.partition import partition_rules_for
-
-            rules = partition_rules_for(family)
-            self.params = shard_params(params, mesh, rules)
             self._slot_sharding = NamedSharding(mesh, P(DATA_AXIS))
             self._cache_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-        elif jax.default_backend() == "tpu":
-            from ..ops import nn
-            from ..ops.quant import pack_int4_tree
-
-            nn.set_use_pallas(True)
-            params = pack_int4_tree(params)
-            self.params = jax.device_put(params)
-        else:
-            self.params = jax.device_put(params)
+        self.params = self._place_params(params)
         self.dtype = dtype
         self.num_slots = num_slots
         self.max_len = max_len
@@ -155,17 +165,46 @@ class GenerationEngine:
                 f"prefill_chunk ({self.prefill_chunk}) must divide "
                 f"max_len ({max_len}) so every chunk fits the cache row"
             )
-        cache0 = init_cache(spec, num_slots, max_len)
-        if mesh is not None:
-            self.cache: KVCache = KVCache(
-                k=jax.device_put(cache0.k, self._cache_sharding),
-                v=jax.device_put(cache0.v, self._cache_sharding),
-                k_scale=jax.device_put(cache0.k_scale, self._cache_sharding),
-                v_scale=jax.device_put(cache0.v_scale, self._cache_sharding),
-                lengths=jax.device_put(cache0.lengths, self._slot_sharding),
+        self.cache: KVCache = self._place_cache(
+            init_cache(spec, num_slots, max_len)
+        )
+
+        # speculative decoding: a small DRAFT decoder proposes
+        # ``speculate_k`` greedy tokens per block, the target model scores
+        # the whole window in one verify_step, and the accepted prefix
+        # (plus the target's correction token) is committed — up to K+1
+        # tokens of progress for one target forward. Greedy output is the
+        # target model's own greedy sequence; sampled slots fall back to
+        # one verified token per block with unchanged PRNG semantics.
+        self.draft_spec = draft_spec
+        self.speculate_k = max(1, int(speculate_k))
+        self._draft_params = None
+        self.drafted_tokens = 0
+        self.accepted_drafts = 0
+        if draft_spec is not None:
+            if draft_params is None:
+                raise ValueError("draft_spec requires draft_params")
+            if draft_spec.vocab != spec.vocab:
+                raise ValueError(
+                    f"draft vocab ({draft_spec.vocab}) must match target "
+                    f"vocab ({spec.vocab})"
+                )
+            if self.prefill_chunk:
+                raise ValueError(
+                    "speculative decoding and chunked prefill do not "
+                    "compose yet: set prefill_chunk=0"
+                )
+            self._draft_params = self._place_params(draft_params)
+            self._draft_cache: KVCache = self._place_cache(
+                init_cache(draft_spec, num_slots, max_len)
             )
-        else:
-            self.cache = jax.device_put(cache0)
+            self._draft_prefill = jax.jit(
+                partial(prefill, draft_spec, dtype=self.dtype),
+                donate_argnums=(1,),
+            )
+            self._spec_decode = jax.jit(
+                self._speculative_block, donate_argnums=(2, 3)
+            )
 
         # jit: cache buffers donated -> in-place updates on device
         self._prefill = jax.jit(
@@ -189,7 +228,118 @@ class GenerationEngine:
         self.steps = 0
         self.generated_tokens = 0
 
+    # -- placement ---------------------------------------------------------
+
+    def _place_params(self, params):
+        """Mirror of ModelEngine placement: mesh mode shards per
+        partition rules; single-TPU mode packs int4 leaves for the Pallas
+        kernels; CPU just device_puts."""
+        if self.mesh is not None:
+            from ..parallel.partition import partition_rules_for, shard_params
+
+            return shard_params(
+                params, self.mesh, partition_rules_for(self._family)
+            )
+        if jax.default_backend() == "tpu":
+            from ..ops import nn
+            from ..ops.quant import pack_int4_tree
+
+            nn.set_use_pallas(True)
+            return jax.device_put(pack_int4_tree(params))
+        return jax.device_put(params)
+
+    def _place_cache(self, cache0: KVCache) -> KVCache:
+        if self.mesh is None:
+            return jax.device_put(cache0)
+        return KVCache(
+            k=jax.device_put(cache0.k, self._cache_sharding),
+            v=jax.device_put(cache0.v, self._cache_sharding),
+            k_scale=jax.device_put(cache0.k_scale, self._cache_sharding),
+            v_scale=jax.device_put(cache0.v_scale, self._cache_sharding),
+            lengths=jax.device_put(cache0.lengths, self._slot_sharding),
+        )
+
     # -- device fns --------------------------------------------------------
+
+    def _speculative_block(self, tparams, dparams, tcache, dcache, ids,
+                           active, temps, top_k, seeds, progress):
+        """One sync of speculative decoding: ``steps_per_sync`` blocks of
+        draft-K-then-verify chained on device; each block commits 1..K+1
+        tokens per greedy slot. Returns (tcache, dcache, packed) where
+        packed int32 [blocks, S, K+2] carries the emitted-token window in
+        columns 0..K and the per-slot commit count in column K+1 (packed
+        so the host pays ONE fetch per sync — the axon-tunnel rule, see
+        CLAUDE.md)."""
+        k = self.speculate_k
+        s = ids.shape[0]
+
+        def one_block(carry, _):
+            tcache, dcache, cur, progress = carry
+
+            # draft K tokens greedily with the small model. K+1 steps:
+            # the extra step's OUTPUT is discarded, but it writes d_K's
+            # KV into the draft cache — on full acceptance the next
+            # block's input lands at start+K+1, so the draft must have
+            # consumed d_K or its cache would hold a garbage hole at
+            # start+K that poisons every later draft.
+            def draft_body(j, c):
+                dcache, tok, toks = c
+                dcache, logits = decode_step(
+                    self.draft_spec, dparams, dcache, tok, active, self.dtype
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return dcache, nxt, toks.at[j].set(nxt)
+
+            toks0 = jnp.zeros((k + 1, s), jnp.int32)
+            dcache, _, drafts = jax.lax.fori_loop(
+                0, k + 1, draft_body, (dcache, cur, toks0)
+            )
+            drafts = drafts[:k].T                                 # [S, K]
+            window = jnp.concatenate([cur[:, None], drafts], 1)   # [S, K+1]
+            start = tcache.lengths
+            tcache, logits = verify_step(
+                self.spec, tparams, tcache, window, active, self.dtype
+            )
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # accept the longest prefix of drafts matching the target's
+            # greedy tokens; the token after it is the target's own
+            # (correction/bonus), so every block emits accepted+1 tokens
+            matches = drafts == greedy[:, :k]
+            accepted = jnp.cumprod(matches.astype(jnp.int32), axis=1).sum(
+                axis=1
+            )
+            sampled = temps > 0
+            step_keys = jax.vmap(
+                lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg)
+            )(seeds, progress)
+            first = _sample_tokens(logits[:, 0], temps, top_k, step_keys)
+            # sampled slots accept no drafts: they emit exactly one
+            # verified token per block with the sequential PRNG fold
+            accepted = jnp.where(sampled, 0, accepted)
+            counts = accepted + 1
+            out = greedy.at[:, 0].set(first)
+            new_len = jnp.where(active, start + counts, start)
+            tcache = tcache._replace(lengths=new_len)
+            # the draft cache holds valid KV exactly up to the last
+            # accepted token; the next block re-feeds the bonus token at
+            # position new_len, so both caches commit to the same length
+            dcache = dcache._replace(
+                lengths=jnp.where(active, new_len, dcache.lengths)
+            )
+            nxt = jnp.take_along_axis(out, (counts - 1)[:, None], axis=1)[:, 0]
+            progress = progress + jnp.where(active, counts, 0)
+            packed = jnp.concatenate(
+                [out, jnp.where(active, counts, 0)[:, None]], axis=1
+            )
+            return (tcache, dcache, nxt, progress), packed
+
+        (tcache, dcache, _, _), packed = jax.lax.scan(
+            one_block,
+            (tcache, dcache, ids, progress),
+            None,
+            length=self.steps_per_sync,
+        )
+        return tcache, dcache, packed
 
     def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
                            seeds, progress):
@@ -203,22 +353,6 @@ class GenerationEngine:
         steps = self.steps_per_sync
         s = ids.shape[0]
 
-        def sample(logits, step_keys):
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            temp = jnp.maximum(temps, 1e-6)[:, None]
-            scaled = logits / temp
-            # top-k: mask everything below the k-th logit (per slot)
-            sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
-            k_idx = jnp.clip(top_k - 1, 0, scaled.shape[-1] - 1)
-            kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
-            masked = jnp.where(
-                (top_k[:, None] > 0) & (scaled < kth), -jnp.inf, scaled
-            )
-            sampled = jax.vmap(
-                lambda key, lg: jax.random.categorical(key, lg)
-            )(step_keys, masked).astype(jnp.int32)
-            return jnp.where(temps > 0, sampled, greedy)
-
         def body(i, carry):
             cache, ids, tokens = carry
             cache, logits = decode_step(
@@ -227,7 +361,7 @@ class GenerationEngine:
             step_keys = jax.vmap(
                 lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg + i)
             )(seeds, progress)
-            nxt = sample(logits, step_keys)
+            nxt = _sample_tokens(logits, temps, top_k, step_keys)
             return cache, nxt, tokens.at[i].set(nxt)
 
         tokens0 = jnp.zeros((steps, s), jnp.int32)
@@ -249,7 +383,13 @@ class GenerationEngine:
 
     def submit(self, request: GenerationRequest) -> GenerationRequest:
         request.submitted_at = now_s()
-        headroom = self.steps_per_sync - 1  # discarded post-EOS tokens
+        # discarded post-EOS tokens: a sync commits up to steps_per_sync
+        # tokens per slot (times K+1 when speculating) before the host
+        # can release the slot
+        per_block = (
+            self.speculate_k + 1 if self._draft_params is not None else 1
+        )
+        headroom = self.steps_per_sync * per_block - 1
         if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
@@ -302,6 +442,11 @@ class GenerationEngine:
     def active_count(self) -> int:
         with self._lock:
             return sum(s is not None for s in self._slots)
+
+    def draft_acceptance_rate(self) -> float:
+        """Fraction of drafted tokens the target model accepted (0 when
+        not speculating)."""
+        return self.accepted_drafts / max(1, self.drafted_tokens)
 
     # -- engine loop -------------------------------------------------------
 
@@ -399,6 +544,15 @@ class GenerationEngine:
             jnp.int32(len(prompt)),
             jnp.int32(slot),
         )
+        if self._draft_params is not None:
+            # the draft needs the prompt in ITS cache before it can draft
+            self._draft_cache, _ = self._draft_prefill(
+                self._draft_params,
+                self._draft_cache,
+                jnp.asarray(padded),
+                jnp.int32(len(prompt)),
+                jnp.int32(slot),
+            )
         self._finish_prefill(slot, request, np.asarray(logits))
 
     def _finish_prefill(
@@ -446,16 +600,35 @@ class GenerationEngine:
                     seeds[i] = s.request.seed & 0xFFFFFFFF
                     progress[i] = s.emitted
 
-        self.cache, token_block = self._decode(
-            self.params, self.cache, jnp.asarray(ids), jnp.asarray(active),
-            jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
-            jnp.asarray(progress),
-        )
-        tokens = np.asarray(token_block)  # [steps, S]: one host sync per block
+        if self._draft_params is not None:
+            self.cache, self._draft_cache, packed = self._spec_decode(
+                self.params, self._draft_params, self.cache,
+                self._draft_cache, jnp.asarray(ids), jnp.asarray(active),
+                jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
+                jnp.asarray(progress),
+            )
+            packed = np.asarray(packed)       # [blocks, S, K+2]: one fetch
+            tokens = packed[:, :, :-1]        # [blocks, S, K+1]
+            counts = packed[:, :, -1]         # [blocks, S]
+            n_greedy = int((active & (temps == 0)).sum())
+            self.drafted_tokens += self.speculate_k * n_greedy * tokens.shape[0]
+            greedy_counts = counts[:, active & (temps == 0)]
+            self.accepted_drafts += int(
+                np.maximum(greedy_counts - 1, 0).sum()
+            )
+        else:
+            self.cache, token_block = self._decode(
+                self.params, self.cache, jnp.asarray(ids), jnp.asarray(active),
+                jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
+                jnp.asarray(progress),
+            )
+            # [steps, S] -> [steps, S, 1] with one committed token per block
+            tokens = np.asarray(token_block)[:, :, None]
+            counts = np.ones(tokens.shape[:2], np.int32)
         self.steps += tokens.shape[0]
 
         finished = set()
-        for row in tokens:
+        for b in range(tokens.shape[0]):
             for i in range(self.num_slots):
                 if not active[i] or i in finished:
                     continue
@@ -463,12 +636,14 @@ class GenerationEngine:
                     state = self._slots[i]
                 if state is None:
                     continue
-                token = int(row[i])
-                state.last_token = token
-                state.emitted += 1
-                self._emit(state.request, token)
-                if self._finished(state):
-                    finished.add(i)
+                for j in range(int(counts[b, i])):
+                    token = int(tokens[b, i, j])
+                    state.last_token = token
+                    state.emitted += 1
+                    self._emit(state.request, token)
+                    if self._finished(state):
+                        finished.add(i)
+                        break
         for i in finished:
             self._release(i)
         return True
@@ -496,3 +671,7 @@ class GenerationEngine:
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[slot].set(0)
         )
+        if self._draft_params is not None:
+            self._draft_cache = self._draft_cache._replace(
+                lengths=self._draft_cache.lengths.at[slot].set(0)
+            )

@@ -1,0 +1,212 @@
+"""Speculative decoding: draft-then-verify must reproduce the plain
+engine's output exactly (greedy AND sampled), for strong and weak
+drafts, while committing multiple tokens per verify when drafts land."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starpu_inference_server_tpu.models.decoder import (
+    decode_step,
+    get_spec,
+    init_cache,
+    init_params,
+    prefill,
+    verify_step,
+)
+from starpu_inference_server_tpu.serving.generation import (
+    GenerationEngine,
+    GenerationRequest,
+)
+
+TINY = {"layers": 2, "hidden": 128, "q_heads": 4, "kv_heads": 2,
+        "intermediate": 256, "vocab": 128}
+DRAFT = {"layers": 1, "hidden": 64, "q_heads": 2, "kv_heads": 1,
+         "intermediate": 128, "vocab": 128}
+
+
+@pytest.fixture(scope="module")
+def target():
+    spec = get_spec("llama-tiny", TINY)
+    return spec, init_params(spec, np.random.default_rng(0))
+
+
+def _make_engine(target, draft_params_seed=None, draft_spec_opts=None,
+                 same_as_target=False, **kw):
+    spec, params = target
+    draft_spec = None
+    draft_params = None
+    if same_as_target:
+        draft_spec, draft_params = spec, params
+    elif draft_params_seed is not None:
+        draft_spec = get_spec("llama-tiny", draft_spec_opts or DRAFT)
+        draft_params = init_params(
+            draft_spec, np.random.default_rng(draft_params_seed)
+        )
+    kw.setdefault("num_slots", 4)
+    kw.setdefault("max_len", 64)
+    kw.setdefault("prefill_buckets", [8, 16])
+    eng = GenerationEngine(
+        spec, params, dtype=jnp.float32,
+        draft_spec=draft_spec, draft_params=draft_params, **kw,
+    )
+    eng.start()
+    return eng
+
+
+def test_verify_step_matches_sequential_decode(target):
+    """verify_step over a W-window must produce the same logits as W
+    sequential decode_steps fed the same tokens."""
+    spec, params = target
+    prompt = np.asarray([3, 7, 11, 2], np.int32)
+    window = np.asarray([[5, 9, 4, 1]], np.int32)  # [S=1, W=4]
+
+    cache_a = init_cache(spec, 1, 32)
+    cache_a, _ = prefill(spec, params, cache_a, jnp.asarray(prompt),
+                         jnp.int32(len(prompt)), jnp.int32(0), jnp.float32)
+    import jax
+
+    cache_b = jax.tree.map(lambda x: x, cache_a)
+
+    seq_logits = []
+    for tok in window[0]:
+        cache_a, lg = decode_step(
+            spec, params, cache_a, jnp.asarray([tok], jnp.int32),
+            jnp.asarray([True]), jnp.float32,
+        )
+        seq_logits.append(np.asarray(lg[0]))
+
+    cache_b, ver = verify_step(
+        spec, params, cache_b, jnp.asarray(window), jnp.asarray([True]),
+        jnp.float32,
+    )
+    # lengths must NOT advance (the caller commits)
+    assert int(cache_b.lengths[0]) == len(prompt)
+    np.testing.assert_allclose(
+        np.asarray(ver[0]), np.stack(seq_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+def _plain_tokens(target, prompts, max_new, **req_kw):
+    eng = _make_engine(target)
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=max_new,
+                                  **req_kw) for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        return [r.result(timeout=120) for r in reqs]
+    finally:
+        eng.stop()
+
+
+def test_perfect_draft_accepts_everything(target):
+    """Draft == target: every draft is accepted, output identical, and
+    each sync commits K+1 tokens per slot."""
+    prompts = [np.asarray([3, 7, 11, 2], np.int32),
+               np.asarray([1, 4], np.int32)]
+    refs = _plain_tokens(target, prompts, 12)
+    eng = _make_engine(target, same_as_target=True, speculate_k=3)
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=12)
+                for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        got = [r.result(timeout=120) for r in reqs]
+        assert got == refs
+        assert eng.draft_acceptance_rate() == pytest.approx(1.0)
+        # 12 tokens in ceil(12/4)=3 verify blocks, not 12 decode steps
+        assert eng.steps <= 4 * len(prompts)
+    finally:
+        eng.stop()
+
+
+def test_weak_draft_still_exact(target):
+    """An unrelated random draft mostly misses — output must STILL equal
+    plain greedy decoding (speculation is lossless)."""
+    prompts = [np.asarray([3, 7, 11, 2], np.int32),
+               np.asarray([9, 9, 9], np.int32),
+               np.asarray([1, 2, 3, 4, 5], np.int32)]
+    refs = _plain_tokens(target, prompts, 10)
+    eng = _make_engine(target, draft_params_seed=99, speculate_k=4)
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=10)
+                for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        got = [r.result(timeout=120) for r in reqs]
+        assert got == refs
+        assert eng.drafted_tokens > 0
+    finally:
+        eng.stop()
+
+
+def test_sampled_slots_match_plain_engine(target):
+    """temperature > 0 slots sample one verified token per block with the
+    same (seed, progress) PRNG fold as the plain path -> identical
+    streams."""
+    prompts = [np.asarray([3, 7, 11, 2], np.int32)]
+    kw = dict(temperature=0.8, top_k=5, seed=42)
+    refs = _plain_tokens(target, prompts, 8, **kw)
+    eng = _make_engine(target, same_as_target=True, speculate_k=3)
+    try:
+        req = GenerationRequest(prompt_ids=prompts[0], max_new_tokens=8, **kw)
+        eng.submit(req)
+        assert req.result(timeout=120) == refs[0]
+    finally:
+        eng.stop()
+
+
+def test_eos_inside_accepted_window(target):
+    """EOS landing mid-window terminates the stream exactly there."""
+    probe = _plain_tokens(target, [np.asarray([9, 9], np.int32)], 6)[0]
+    eos = probe[3]  # 4th generated token
+    eng = _make_engine(target, same_as_target=True, speculate_k=4)
+    try:
+        req = GenerationRequest(
+            prompt_ids=np.asarray([9, 9], np.int32),
+            max_new_tokens=20, eos_id=eos,
+        )
+        eng.submit(req)
+        tokens = req.result(timeout=120)
+        assert tokens == probe[:4]
+        # the slot is free again: a follow-up request must work
+        again = eng.generate(np.asarray([1, 2], np.int32), max_new_tokens=3,
+                             timeout=120)
+        assert len(again) == 3
+    finally:
+        eng.stop()
+
+
+def test_speculative_with_steps_per_sync(target):
+    """Chained verify blocks per sync compose with speculation."""
+    prompts = [np.asarray([5, 6, 7], np.int32)]
+    refs = _plain_tokens(target, prompts, 9)
+    eng = _make_engine(target, same_as_target=True, speculate_k=2,
+                       steps_per_sync=2)
+    try:
+        req = GenerationRequest(prompt_ids=prompts[0], max_new_tokens=9)
+        eng.submit(req)
+        assert req.result(timeout=120) == refs[0]
+    finally:
+        eng.stop()
+
+
+def test_draft_requires_matching_vocab(target):
+    spec, params = target
+    bad = get_spec("llama-tiny", dict(DRAFT, vocab=64))
+    with pytest.raises(ValueError):
+        GenerationEngine(
+            spec, params, dtype=jnp.float32,
+            draft_spec=bad, draft_params=init_params(
+                bad, np.random.default_rng(1)
+            ),
+        )
+
+
+def test_speculation_rejects_chunked_prefill(target):
+    spec, params = target
+    with pytest.raises(ValueError):
+        GenerationEngine(
+            spec, params, dtype=jnp.float32, max_len=64, prefill_chunk=16,
+            draft_spec=spec, draft_params=params,
+        )
