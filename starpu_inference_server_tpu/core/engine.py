@@ -19,6 +19,7 @@ replica per GPU). TPU re-design:
 
 from __future__ import annotations
 
+import math
 import threading
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -88,11 +89,32 @@ class ModelEngine:
                 devices=self.devices,
             )
             rules = partition_rules_for(model.definition.family)
-            self._params_per_device: List[Any] = [
-                shard_params(model.params, self.mesh, rules)
-            ]
+            if mesh_cfg.pipe > 1 and model.definition.pipeline_apply is not None:
+                # pipeline parallelism: the layer stack shards over the
+                # 'pipe' axis as ONE stacked pytree; the forward is the
+                # GPipe shard_map program (parallel/pipeline.py) instead
+                # of plain GSPMD propagation
+                from ..parallel.pipeline import prepare_pipelined_params
+
+                self._pipelined = True
+                self._microbatches = mesh_cfg.microbatches
+                self._params_per_device: List[Any] = [
+                    prepare_pipelined_params(model.params, self.mesh, rules)
+                ]
+            else:
+                if mesh_cfg.pipe > 1:
+                    raise DeviceError(
+                        f"devices.mesh.pipe={mesh_cfg.pipe} but model "
+                        f"family {model.definition.family!r} has no "
+                        f"pipeline_apply"
+                    )
+                self._pipelined = False
+                self._params_per_device = [
+                    shard_params(model.params, self.mesh, rules)
+                ]
             self._input_sharding = batch_sharding(self.mesh)
         else:
+            self._pipelined = False
             self._params_per_device = [
                 jax.device_put(model.params, dev) for dev in self.devices
             ]
@@ -100,8 +122,16 @@ class ModelEngine:
         definition = model.definition
         compute_dtype = model.compute_dtype
 
-        def _forward(params, inputs):
-            return definition.apply(params, inputs, compute_dtype)
+        if self._pipelined:
+            pipeline_apply = definition.pipeline_apply
+            mesh, micro = self.mesh, self._microbatches
+
+            def _forward(params, inputs):
+                return pipeline_apply(params, inputs, mesh, micro,
+                                      compute_dtype)
+        else:
+            def _forward(params, inputs):
+                return definition.apply(params, inputs, compute_dtype)
 
         self._jitted = jax.jit(_forward)
         self._compile_lock = threading.Lock()
@@ -136,10 +166,15 @@ class ModelEngine:
         return specs
 
     def min_batch_granularity(self) -> int:
-        """Batches must divide evenly over the data axis in mesh mode."""
-        if self.mesh is not None:
-            return dict(self.mesh.shape).get("data", 1)
-        return 1
+        """Batches must divide evenly over the data axis in mesh mode;
+        the pipelined forward additionally splits the batch into
+        microbatches."""
+        if self.mesh is None:
+            return 1
+        g = dict(self.mesh.shape).get("data", 1)
+        if self._pipelined:
+            g = g * self._microbatches // math.gcd(g, self._microbatches)
+        return g
 
     def effective_bucket(self, bucket: int) -> int:
         g = self.min_batch_granularity()

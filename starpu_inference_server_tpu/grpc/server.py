@@ -113,9 +113,14 @@ class InferenceServer:
         )
         self.generation_engine = None
         self.runner = None
-        if self.engine.model.definition.supports_generation:
+        serve_logits = bool(cfg.model.options.get("serve_logits", False))
+        if self.engine.model.definition.supports_generation and not serve_logits:
             # decoder family: continuous-batching generation replaces the
-            # batch pipeline (no reference counterpart; BASELINE configs 4-5)
+            # batch pipeline (no reference counterpart; BASELINE configs
+            # 4-5). options.serve_logits=true opts OUT: the decoder then
+            # serves teacher-forcing logits through the ordinary batch
+            # pipeline (scoring/perplexity service; also the surface the
+            # pipeline-parallel forward serves on, devices.mesh.pipe > 1).
             import jax.numpy as jnp
 
             from ..models.decoder import get_spec

@@ -664,6 +664,16 @@ def _build_decoder(variant: str, options) -> ModelDefinition:
         ids = inputs["input_ids"].astype(jnp.int32)
         return {"logits": forward_logits(spec, params, ids, dtype)}
 
+    def pipeline_apply(params, inputs, mesh, num_microbatches, dtype):
+        from ..parallel.pipeline import pipelined_decoder_logits
+
+        ids = inputs["input_ids"].astype(jnp.int32)
+        return {
+            "logits": pipelined_decoder_logits(
+                spec, params, ids, mesh, num_microbatches, dtype
+            )
+        }
+
     return ModelDefinition(
         family=variant,
         init_params=init,
@@ -671,6 +681,7 @@ def _build_decoder(variant: str, options) -> ModelDefinition:
         input_specs=(TensorSpec("input_ids", (seq_len,), "INT64"),),
         output_specs=(TensorSpec("logits", (seq_len, spec.vocab), "FP32"),),
         supports_generation=True,
+        pipeline_apply=pipeline_apply,
     )
 
 

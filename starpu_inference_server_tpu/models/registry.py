@@ -38,6 +38,11 @@ class ModelDefinition:
     partition_rules: Optional[Callable[[], Any]] = None
     # decoder families support KV-cache generation (serving/generation.py)
     supports_generation: bool = False
+    # pipeline-parallel forward: (params, inputs, mesh, num_microbatches,
+    # dtype) -> outputs. Set by families whose layer stack can pipeline
+    # over the mesh 'pipe' axis; the engine uses it when devices.mesh.pipe
+    # > 1 (params come pre-stacked via pipeline.prepare_pipelined_params).
+    pipeline_apply: Optional[Callable] = None
 
 
 _REGISTRY: Dict[str, Callable[[Mapping[str, Any]], ModelDefinition]] = {}

@@ -173,6 +173,33 @@ def shard_params(params: Any, mesh: Mesh, rules: Rules) -> Any:
     return _map_with_paths(params, place)
 
 
+def shard_stacked_layers(stacked: Any, mesh: Mesh, rules: Rules) -> Any:
+    """Place a stacked layer tree (every leaf carries a leading [L]
+    axis; see parallel.pipeline.stack_layers): the leading axis shards
+    over ``pipe`` and the per-layer dims replicate — matching
+    pipeline_forward's shard_map in_specs exactly, so entering the
+    pipelined program never reshards the weights. (Tensor parallelism
+    INSIDE a pipeline stage would need a (pipe, model) shard_map with
+    manual collectives in the layer body — a future extension; ``rules``
+    is accepted for that signature stability.)"""
+    del rules  # per-layer dims replicate for now (see docstring)
+    from .mesh import PIPE_AXIS
+
+    pipe_only = NamedSharding(mesh, P(PIPE_AXIS))
+
+    def place(path: str, leaf):
+        if is_packed_int4_leaf(leaf) or is_quantized_leaf(leaf):
+            wkey = "w_p4" if "w_p4" in leaf else "w_q"
+            return {
+                wkey: jax.device_put(leaf[wkey], pipe_only),
+                "scale": jax.device_put(leaf["scale"], pipe_only),
+                "bits": leaf["bits"],
+            }
+        return jax.device_put(leaf, pipe_only)
+
+    return _map_with_paths(stacked, place)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Inputs shard their leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -42,8 +42,66 @@ from .mesh import PIPE_AXIS
 
 def stack_layers(layers):
     """[{...}, {...}] per-layer param dicts -> one pytree whose leaves
-    carry a leading [L] axis (the scan/stage-shard axis)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    carry a leading [L] axis (the scan/stage-shard axis).
+
+    Quantization-aware: quantized leaves ({'w_q'/'w_p4', 'scale',
+    'bits'}) stack their array fields and keep ``bits`` as a static
+    python int (layers must be homogeneous in bit-width)."""
+    from ..ops.quant import is_packed_int4_leaf, is_quantized_leaf
+
+    def rec(nodes):
+        first = nodes[0]
+        if is_quantized_leaf(first) or is_packed_int4_leaf(first):
+            wkey = "w_p4" if "w_p4" in first else "w_q"
+            bits = first["bits"]
+            if any(n["bits"] != bits for n in nodes):
+                raise ValueError("cannot stack layers with mixed quant bits")
+            return {
+                wkey: jnp.stack([n[wkey] for n in nodes]),
+                "scale": jnp.stack([n["scale"] for n in nodes]),
+                "bits": bits,
+            }
+        if isinstance(first, dict):
+            return {k: rec([n[k] for n in nodes]) for k in first}
+        if isinstance(first, (list, tuple)):
+            return type(first)(
+                rec([n[i] for n in nodes]) for i in range(len(first))
+            )
+        return jnp.stack(nodes)
+
+    return rec(list(layers))
+
+
+def _split_static_bits(tree):
+    """Split a stacked layer tree into (arrays-only tree, rebuild fn).
+
+    ``shard_map``/``lax.scan`` require every pytree leaf to be an array
+    with the stage/scan axis; the quantized leaves' static ``bits`` int
+    would break both. The rebuild fn re-attaches ``bits`` to a per-layer
+    slice inside the scan body (a closure — stays static under jit)."""
+    from ..ops.quant import is_packed_int4_leaf, is_quantized_leaf
+
+    def strip(node):
+        if isinstance(node, dict):
+            if is_quantized_leaf(node) or is_packed_int4_leaf(node):
+                return {k: v for k, v in node.items() if k != "bits"}
+            return {k: strip(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(strip(v) for v in node)
+        return node
+
+    def rebuild(node, tmpl):
+        if isinstance(tmpl, dict):
+            if is_quantized_leaf(tmpl) or is_packed_int4_leaf(tmpl):
+                out = dict(node)
+                out["bits"] = tmpl["bits"]
+                return out
+            return {k: rebuild(node[k], tmpl[k]) for k in tmpl}
+        if isinstance(tmpl, (list, tuple)):
+            return type(tmpl)(rebuild(n, t) for n, t in zip(node, tmpl))
+        return node
+
+    return strip(tree), lambda dyn: rebuild(dyn, tree)
 
 
 def pipeline_forward(
@@ -68,6 +126,7 @@ def pipeline_forward(
             f"batch {batch} not divisible by num_microbatches "
             f"{num_microbatches}"
         )
+    stacked_params, reattach = _split_static_bits(stacked_params)
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     if n_layers % stages != 0:
         raise ValueError(
@@ -85,7 +144,7 @@ def pipeline_forward(
 
         def run_stage(x_in):
             def body(carry, layer_params):
-                return layer_fn(layer_params, carry), None
+                return layer_fn(reattach(layer_params), carry), None
 
             out, _ = jax.lax.scan(body, x_in, params_local)
             return out
@@ -196,7 +255,27 @@ def pipelined_decoder_logits(
     from ..models.decoder import rms_norm as _rms  # final norm reuse
 
     x = nn.embedding(params["embed"], ids, dtype)
-    stacked = stack_layers(params["layers"])
+    layers = params["layers"]
+    # serving passes layers pre-stacked (+sharded) by
+    # prepare_pipelined_params; library callers may pass the plain list
+    stacked = layers if isinstance(layers, dict) else stack_layers(layers)
     x = pipeline_forward(mesh, layer_fn, stacked, x, num_microbatches)
     x = _rms(params["final_norm"], x)
     return nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
+
+
+def prepare_pipelined_params(params, mesh: Mesh, rules):
+    """Placement for pipelined serving: the layer stack becomes ONE
+    stacked pytree whose leading [L] axis shards over ``pipe`` (each
+    stage holds L/S contiguous layers in its HBM) while the per-layer
+    dims keep their tensor-parallel specs; embed / final_norm / lm_head
+    shard by the ordinary rules. The ModelEngine calls this once at
+    startup (the pipelined analogue of parallel.partition.shard_params)."""
+    from .partition import shard_params, shard_stacked_layers
+
+    rest = {k: v for k, v in params.items() if k != "layers"}
+    placed = shard_params(rest, mesh, rules)
+    placed["layers"] = shard_stacked_layers(
+        stack_layers(params["layers"]), mesh, rules
+    )
+    return placed

@@ -97,6 +97,9 @@ class MeshSettings:
     model: int = 1
     expert: int = 1
     pipe: int = 1
+    # GPipe microbatch count when pipe > 1; bubble fraction is
+    # (pipe-1)/(microbatches+pipe-1)
+    microbatches: int = 4
 
     @property
     def size(self) -> int:
@@ -347,12 +350,18 @@ def _parse_devices(raw: Any) -> DeviceSettings:
     allowed = ["use_tpu", "device_ids", "lanes_per_device", "scheduler", "mesh"]
     _check_keys("devices", raw, allowed)
     mesh_raw = raw.get("mesh") or {}
-    _check_keys("devices.mesh", mesh_raw, ["data", "model", "expert", "pipe"])
+    _check_keys(
+        "devices.mesh", mesh_raw,
+        ["data", "model", "expert", "pipe", "microbatches"],
+    )
     mesh = MeshSettings(
         data=_as_positive_int("devices.mesh.data", mesh_raw.get("data", 1)),
         model=_as_positive_int("devices.mesh.model", mesh_raw.get("model", 1)),
         expert=_as_positive_int("devices.mesh.expert", mesh_raw.get("expert", 1)),
         pipe=_as_positive_int("devices.mesh.pipe", mesh_raw.get("pipe", 1)),
+        microbatches=_as_positive_int(
+            "devices.mesh.microbatches", mesh_raw.get("microbatches", 4)
+        ),
     )
     ids = raw.get("device_ids", []) or []
     if not isinstance(ids, list) or not all(
