@@ -98,8 +98,22 @@ class ModelEngine:
 
                 self._pipelined = True
                 self._microbatches = mesh_cfg.microbatches
+                shuffle = None
+                if mesh_cfg.model > 1:
+                    hook = model.definition.tp_layer_shuffle
+                    if hook is None:
+                        raise DeviceError(
+                            f"devices.mesh.model={mesh_cfg.model} with "
+                            f"pipe={mesh_cfg.pipe}: family "
+                            f"{model.definition.family!r} has no "
+                            "tp_layer_shuffle (manual TP inside pipeline "
+                            "stages needs block-aligned fused layouts)"
+                        )
+                    shuffle = lambda layer: hook(layer, mesh_cfg.model)
                 self._params_per_device: List[Any] = [
-                    prepare_pipelined_params(model.params, self.mesh, rules)
+                    prepare_pipelined_params(
+                        model.params, self.mesh, rules, layer_shuffle=shuffle
+                    )
                 ]
             else:
                 if mesh_cfg.pipe > 1:

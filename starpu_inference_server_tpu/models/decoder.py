@@ -674,6 +674,15 @@ def _build_decoder(variant: str, options) -> ModelDefinition:
             )
         }
 
+    def tp_layer_shuffle(layer, tp):
+        from ..parallel.tp_layout import (
+            shuffle_decoder_layer_for_tp,
+            validate_decoder_tp,
+        )
+
+        validate_decoder_tp(spec, tp)
+        return shuffle_decoder_layer_for_tp(spec, layer, tp)
+
     return ModelDefinition(
         family=variant,
         init_params=init,
@@ -682,6 +691,7 @@ def _build_decoder(variant: str, options) -> ModelDefinition:
         output_specs=(TensorSpec("logits", (seq_len, spec.vocab), "FP32"),),
         supports_generation=True,
         pipeline_apply=pipeline_apply,
+        tp_layer_shuffle=tp_layer_shuffle,
     )
 
 

@@ -43,6 +43,11 @@ class ModelDefinition:
     # over the mesh 'pipe' axis; the engine uses it when devices.mesh.pipe
     # > 1 (params come pre-stacked via pipeline.prepare_pipelined_params).
     pipeline_apply: Optional[Callable] = None
+    # (layer_params, tp) -> layer_params: block-alignment permutation of
+    # fused projections for MANUAL tensor parallelism (shard_map bodies
+    # see raw contiguous shards; parallel/tp_layout.py). Applied once at
+    # placement when devices.mesh.model > 1 composes with pipe > 1.
+    tp_layer_shuffle: Optional[Callable] = None
 
 
 _REGISTRY: Dict[str, Callable[[Mapping[str, Any]], ModelDefinition]] = {}

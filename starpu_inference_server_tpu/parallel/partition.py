@@ -173,31 +173,51 @@ def shard_params(params: Any, mesh: Mesh, rules: Rules) -> Any:
     return _map_with_paths(params, place)
 
 
+def stacked_layer_spec(path: str, leaf, rules: Rules) -> P:
+    """PartitionSpec for one STACKED layer leaf: ``pipe`` on the leading
+    [L] axis plus the per-layer tensor-parallel spec from ``rules``
+    (trimmed/padded to the leaf's rank). For quantized leaves the spec
+    describes the weight array; scales derive via :func:`_quant_specs`."""
+    from .mesh import PIPE_AXIS
+
+    spec = _spec_for_path(path, rules)
+    if _is_opaque_leaf(leaf):
+        nd = leaf["w_p4" if "w_p4" in leaf else "w_q"].ndim
+    else:
+        nd = getattr(leaf, "ndim", 0)
+    entries = [PIPE_AXIS] + list(spec)
+    entries = entries[:nd] + [None] * max(0, nd - len(entries))
+    return P(*entries)
+
+
 def shard_stacked_layers(stacked: Any, mesh: Mesh, rules: Rules) -> Any:
     """Place a stacked layer tree (every leaf carries a leading [L]
     axis; see parallel.pipeline.stack_layers): the leading axis shards
-    over ``pipe`` and the per-layer dims replicate — matching
-    pipeline_forward's shard_map in_specs exactly, so entering the
-    pipelined program never reshards the weights. (Tensor parallelism
-    INSIDE a pipeline stage would need a (pipe, model) shard_map with
-    manual collectives in the layer body — a future extension; ``rules``
-    is accepted for that signature stability.)"""
-    del rules  # per-layer dims replicate for now (see docstring)
-    from .mesh import PIPE_AXIS
-
-    pipe_only = NamedSharding(mesh, P(PIPE_AXIS))
+    over ``pipe`` (each stage holds L/S contiguous layers in its HBM)
+    and the per-layer dims shard by the tensor-parallel ``rules`` —
+    matching pipeline_forward's shard_map in_specs exactly, so entering
+    the pipelined program never reshards the weights. Fused projections
+    must be column-shuffled first (parallel/tp_layout.py) when the
+    ``model`` axis is >1, so each contiguous shard is block-aligned."""
 
     def place(path: str, leaf):
+        spec = stacked_layer_spec(path, leaf, rules)
         if is_packed_int4_leaf(leaf) or is_quantized_leaf(leaf):
             wkey = "w_p4" if "w_p4" in leaf else "w_q"
+            w_spec, s_spec = _quant_specs(spec, leaf)
             return {
-                wkey: jax.device_put(leaf[wkey], pipe_only),
-                "scale": jax.device_put(leaf["scale"], pipe_only),
+                wkey: jax.device_put(leaf[wkey], NamedSharding(mesh, w_spec)),
+                "scale": jax.device_put(
+                    leaf["scale"], NamedSharding(mesh, s_spec)
+                ),
                 "bits": leaf["bits"],
             }
-        return jax.device_put(leaf, pipe_only)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return _map_with_paths(stacked, place)
+    # prefix "layers" so paths look like the full-tree paths the rules
+    # regexes were written against ("layers/<i>/attn/qkv/w" there,
+    # "layers/attn/qkv/w" here — both match ".*/attn/qkv/w$")
+    return _map_with_paths(stacked, place, prefix="layers")
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -37,7 +37,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .mesh import PIPE_AXIS
+from .mesh import EXPERT_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
 def stack_layers(layers):
@@ -104,12 +104,31 @@ def _split_static_bits(tree):
     return strip(tree), lambda dyn: rebuild(dyn, tree)
 
 
+def _stacked_in_specs(stacked, rules):
+    """shard_map in_specs for a stacked layer tree under TP rules: the
+    structure matches the bits-stripped tree (quantized leaves expand to
+    per-field specs), so it zips exactly with what stage_program sees."""
+    from .partition import _map_with_paths, _quant_specs, stacked_layer_spec
+    from ..ops.quant import is_packed_int4_leaf, is_quantized_leaf
+
+    def spec_of(path, leaf):
+        spec = stacked_layer_spec(path, leaf, rules)
+        if is_packed_int4_leaf(leaf) or is_quantized_leaf(leaf):
+            w_spec, s_spec = _quant_specs(spec, leaf)
+            wkey = "w_p4" if "w_p4" in leaf else "w_q"
+            return {wkey: w_spec, "scale": s_spec}
+        return spec
+
+    return _map_with_paths(stacked, spec_of, prefix="layers")
+
+
 def pipeline_forward(
     mesh: Mesh,
     layer_fn: Callable,
     stacked_params,
     x: jnp.ndarray,
     num_microbatches: int,
+    rules=None,
 ):
     """Run ``x`` through the stacked layers, pipelined over ``pipe``.
 
@@ -118,6 +137,13 @@ def pipeline_forward(
     ``stacked_params`` leaves are [L, ...] with L divisible by the pipe
     axis size; ``x`` is [B, ...] with B divisible by num_microbatches.
     Returns [B, ...] replicated across the mesh.
+
+    With ``rules`` (partition.Rules), per-layer weight dims additionally
+    shard over the ``model``/``expert`` mesh axes INSIDE each pipeline
+    stage; ``layer_fn`` is then responsible for the matching manual
+    collectives (psum after row-parallel projections) and for assuming
+    block-aligned fused layouts (parallel/tp_layout.py). Without rules,
+    per-layer dims replicate and ``layer_fn`` sees full-size weights.
     """
     stages = mesh.shape[PIPE_AXIS]
     batch = x.shape[0]
@@ -126,7 +152,12 @@ def pipeline_forward(
             f"batch {batch} not divisible by num_microbatches "
             f"{num_microbatches}"
         )
+    param_specs = (
+        _stacked_in_specs(stacked_params, rules) if rules is not None else None
+    )
     stacked_params, reattach = _split_static_bits(stacked_params)
+    if param_specs is None:
+        param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked_params)
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     if n_layers % stages != 0:
         raise ValueError(
@@ -182,7 +213,7 @@ def pipeline_forward(
         program = shard_map(
             stage_program,
             mesh=mesh,
-            in_specs=(P(PIPE_AXIS), P()),
+            in_specs=(param_specs, P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -190,7 +221,7 @@ def pipeline_forward(
         program = shard_map(
             stage_program,
             mesh=mesh,
-            in_specs=(P(PIPE_AXIS), P()),
+            in_specs=(param_specs, P()),
             out_specs=P(),
             check_rep=False,
         )
@@ -207,75 +238,158 @@ def pipelined_decoder_logits(
     dtype=jnp.float32,
 ):
     """Teacher-forcing decoder forward with the layer stack pipelined
-    over the ``pipe`` mesh axis (embed/final-norm/lm_head replicate).
+    over the ``pipe`` mesh axis (embed/final-norm/lm_head shard by the
+    ordinary GSPMD rules outside the shard_map program).
 
-    The per-layer body reuses models/decoder.py's blocks, so dense and
-    MoE layers both pipeline. Layer params must be homogeneous (all
-    dense or all MoE) to stack.
+    Tensor parallelism composes INSIDE each pipeline stage: per-layer
+    weight dims shard over the ``model`` axis (Megatron column/row
+    split) and MoE experts over the ``expert`` axis, with the manual
+    collectives the shard_map body owes for them — one psum over
+    ``model`` after each row-parallel projection, and one psum over
+    (``expert``, ``model``) for the MoE combine. The layer body is
+    written in LOCAL head/intermediate/expert counts, so the same code
+    serves tp = 1 (the psums over size-1 axes are no-ops). Fused qkv /
+    gate_up projections must be block-shuffled at placement
+    (parallel/tp_layout.py) so each device's contiguous column slice is
+    exactly its ``[q_d | k_d | v_d]`` (resp. ``[gate_d | up_d]``).
+
+    Dense and MoE layers both pipeline; layer params must be homogeneous
+    (all dense or all MoE) to stack.
     """
     import math
 
-    from ..models.decoder import (
-        _mlp_block,
-        _project_qkv,
-        rms_norm,
-        rope,
-    )
+    from ..models.decoder import rms_norm, rope
     from ..ops import nn
+    from .partition import _DECODER_RULES
+    from .tp_layout import shuffle_decoder_layer_for_tp, validate_decoder_tp
+
+    tp = mesh.shape[MODEL_AXIS]
+    ep = mesh.shape[EXPERT_AXIS]
+    validate_decoder_tp(spec, tp)
+    qh = spec.q_heads // tp
+    kvh = spec.kv_heads // tp
+    d = spec.head_dim
+    dq, dkv = qh * d, kvh * d
 
     b, t = ids.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
     causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
 
+    def dense_mlp(layer, h):
+        # gate_up columns are the LOCAL [gate_d | up_d] block; the down
+        # row shard matches the local activation columns -> partial sums
+        fused = nn.dense(layer["mlp"]["gate_up"], h, dtype)
+        inter = fused.shape[-1] // 2
+        act = jax.nn.silu(fused[..., :inter].astype(jnp.float32)).astype(
+            dtype
+        ) * fused[..., inter:]
+        y = nn.dense(layer["mlp"]["down"], act, dtype)
+        return jax.lax.psum(y, MODEL_AXIS)
+
+    def moe_mlp(layer, h):
+        # Router replicates (every device routes identically); each
+        # device computes its LOCAL experts' local column slice and the
+        # combine reduction completes in one psum over (expert, model).
+        moe = layer["mlp"]
+        lead = h.shape[:-1]
+        xf = h.reshape(-1, h.shape[-1])  # [T, H]
+        logits = nn.dense(moe["router"], xf, dtype).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        vals, idx = jax.lax.top_k(probs, spec.experts_per_token)
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+        combine = jnp.sum(
+            jax.nn.one_hot(idx, spec.num_experts, dtype=jnp.float32)
+            * vals[..., None],
+            axis=1,
+        )  # [T, E] over ALL experts
+        wg = nn.resolve_weight(moe["experts"]["gate_up"]["w"], dtype)
+        wd = nn.resolve_weight(moe["experts"]["down"]["w"], dtype)
+        e_local = wg.shape[0]
+        off = jax.lax.axis_index(EXPERT_AXIS) * e_local
+        combine_l = jax.lax.dynamic_slice_in_dim(
+            combine, off, e_local, axis=1
+        )  # [T, E_local]
+        he = jnp.einsum(
+            "th,ehf->etf",
+            xf.astype(dtype),
+            wg,
+            preferred_element_type=jnp.float32,
+        )
+        inter = he.shape[-1] // 2
+        act = (jax.nn.silu(he[..., :inter]) * he[..., inter:]).astype(dtype)
+        y = jnp.einsum(
+            "eti,eih->eth", act, wd, preferred_element_type=jnp.float32
+        )
+        y = jnp.einsum("te,eth->th", combine_l, y)
+        y = jax.lax.psum(y, (EXPERT_AXIS, MODEL_AXIS))
+        return y.reshape(*lead, h.shape[-1]).astype(dtype)
+
     def layer_fn(layer, x):
         bt = x.shape[0]
         pos = positions[:bt]
         h = rms_norm(layer["attn_norm"], x)
-        qf, kf, vf = _project_qkv(spec, layer, h, dtype)
-        q = qf.reshape(bt, t, spec.q_heads, spec.head_dim)
-        k = kf.reshape(bt, t, spec.kv_heads, spec.head_dim)
-        v = vf.reshape(bt, t, spec.kv_heads, spec.head_dim)
+        fused = nn.dense(layer["attn"]["qkv"], h, dtype)
+        q = fused[..., :dq].reshape(bt, t, qh, d)
+        k = fused[..., dq : dq + dkv].reshape(bt, t, kvh, d)
+        v = fused[..., dq + dkv :].reshape(bt, t, kvh, d)
         q = rope(q, pos)
         k = rope(k, pos)
-        rep = spec.q_heads // spec.kv_heads
+        rep = qh // kvh
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(spec.head_dim)
+        ) / math.sqrt(d)
         logits = jnp.where(causal, logits, -1e9)
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
         attn = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).reshape(bt, t, spec.q_heads * spec.head_dim).astype(dtype)
-        x = x + nn.dense(layer["attn"]["o"], attn, dtype)
+        ).reshape(bt, t, qh * d).astype(dtype)
+        o = nn.dense(layer["attn"]["o"], attn, dtype)
+        x = x + jax.lax.psum(o, MODEL_AXIS)
         h = rms_norm(layer["mlp_norm"], x)
-        return x + _mlp_block(spec, layer, h, dtype)
+        mlp = moe_mlp if "router" in layer["mlp"] else dense_mlp
+        return x + mlp(layer, h)
 
     from ..models.decoder import rms_norm as _rms  # final norm reuse
 
     x = nn.embedding(params["embed"], ids, dtype)
     layers = params["layers"]
-    # serving passes layers pre-stacked (+sharded) by
+    # serving passes layers pre-stacked (+shuffled +sharded) by
     # prepare_pipelined_params; library callers may pass the plain list
-    stacked = layers if isinstance(layers, dict) else stack_layers(layers)
-    x = pipeline_forward(mesh, layer_fn, stacked, x, num_microbatches)
+    if isinstance(layers, dict):
+        stacked = layers
+    else:
+        if tp > 1:
+            layers = [
+                shuffle_decoder_layer_for_tp(spec, l, tp) for l in layers
+            ]
+        stacked = stack_layers(layers)
+    x = pipeline_forward(
+        mesh, layer_fn, stacked, x, num_microbatches, rules=_DECODER_RULES
+    )
     x = _rms(params["final_norm"], x)
     return nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
 
 
-def prepare_pipelined_params(params, mesh: Mesh, rules):
+def prepare_pipelined_params(params, mesh: Mesh, rules, layer_shuffle=None):
     """Placement for pipelined serving: the layer stack becomes ONE
     stacked pytree whose leading [L] axis shards over ``pipe`` (each
     stage holds L/S contiguous layers in its HBM) while the per-layer
     dims keep their tensor-parallel specs; embed / final_norm / lm_head
-    shard by the ordinary rules. The ModelEngine calls this once at
-    startup (the pipelined analogue of parallel.partition.shard_params)."""
+    shard by the ordinary rules. ``layer_shuffle`` (layer -> layer)
+    applies the family's block-alignment permutation for manual TP
+    (ModelDefinition.tp_layer_shuffle) before stacking. The ModelEngine
+    calls this once at startup (the pipelined analogue of
+    parallel.partition.shard_params)."""
     from .partition import shard_params, shard_stacked_layers
 
     rest = {k: v for k, v in params.items() if k != "layers"}
     placed = shard_params(rest, mesh, rules)
+    layers = params["layers"]
+    if layer_shuffle is not None:
+        layers = [layer_shuffle(layer) for layer in layers]
     placed["layers"] = shard_stacked_layers(
-        stack_layers(params["layers"]), mesh, rules
+        stack_layers(layers), mesh, rules
     )
     return placed

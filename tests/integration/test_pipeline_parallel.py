@@ -114,3 +114,36 @@ def test_pipelined_decoder_quantized_and_moe():
     mgot = np.asarray(pipelined_decoder_logits(
         mspec, mparams, jnp.asarray(ids), mesh, num_microbatches=2))
     np.testing.assert_allclose(mgot, mwant, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("quant", [None, 8])
+def test_pipelined_decoder_with_tensor_parallel_stages(quant):
+    """pipe=2 x model=2: per-layer weights shard over 'model' INSIDE each
+    pipeline stage (manual Megatron TP with block-shuffled fused
+    projections + psum) and must still match the sequential forward."""
+    spec = get_spec("llama-tiny", TINY)
+    params = init_params(spec, np.random.default_rng(7))
+    if quant:
+        params = maybe_quantize_tree(params, bits=quant)
+    ids = np.random.default_rng(8).integers(0, spec.vocab, (4, 8), np.int32)
+    want = np.asarray(forward_logits(spec, params, jnp.asarray(ids),
+                                     jnp.float32))
+    mesh = make_device_mesh(MeshAxes(pipe=2, model=2))
+    got = np.asarray(pipelined_decoder_logits(
+        spec, params, jnp.asarray(ids), mesh, num_microbatches=2))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_pipelined_moe_with_expert_and_tensor_parallel_stages():
+    """pipe=2 x expert=2 x model=2 (8 devices): EP + TP inside each
+    pipeline stage; one psum over (expert, model) completes the MoE
+    combine."""
+    mspec = get_spec("moe-tiny", dict(TINY, num_experts=4))
+    mparams = init_params(mspec, np.random.default_rng(9))
+    ids = np.random.default_rng(10).integers(0, mspec.vocab, (4, 8), np.int32)
+    want = np.asarray(forward_logits(mspec, mparams, jnp.asarray(ids),
+                                     jnp.float32))
+    mesh = make_device_mesh(MeshAxes(pipe=2, expert=2, model=2))
+    got = np.asarray(pipelined_decoder_logits(
+        mspec, mparams, jnp.asarray(ids), mesh, num_microbatches=2))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)

@@ -15,8 +15,8 @@ TINY_OPTS = {"layers": 2, "hidden": 128, "q_heads": 4, "kv_heads": 2,
              "intermediate": 256, "vocab": 128, "seq_len": 8}
 
 
-def pipe_cfg(quant="none", data=1, pipe=2, model=1, micro=2, family="llama-tiny",
-             opts=None):
+def pipe_cfg(quant="none", data=1, pipe=2, model=1, expert=1, micro=2,
+             family="llama-tiny", opts=None):
     return parse_config({
         "name": "llama_pipe",
         "model": {
@@ -36,7 +36,7 @@ def pipe_cfg(quant="none", data=1, pipe=2, model=1, micro=2, family="llama-tiny"
         "congestion": {"enabled": False},
         "metrics_enabled": False,
         "devices": {"mesh": {"data": data, "pipe": pipe, "model": model,
-                             "microbatches": micro}},
+                             "expert": expert, "microbatches": micro}},
     })
 
 
@@ -108,3 +108,12 @@ def test_pipe_axis_without_pipeline_apply_raises():
 
     with pytest.raises(DeviceError):
         ModelEngine(cfg, model)
+
+
+def test_pipelined_moe_composes_expert_and_model_axes():
+    # pipe=2 x expert=2 x model=2 (8 devices): serving path applies the
+    # tp_layer_shuffle hook and the manual EP+TP collectives
+    _compare(pipe_cfg(
+        family="moe-tiny", pipe=2, expert=2, model=2,
+        opts={"num_experts": 4, "experts_per_token": 2},
+    ))
