@@ -152,6 +152,17 @@ class ModelEngine:
         self._compiled: set = set()  # (device_index, bucket)
 
     @property
+    def pipelined(self) -> bool:
+        """True when devices.mesh.pipe > 1 routed placement through
+        prepare_pipelined_params (stacked layer tree)."""
+        return self._pipelined
+
+    def placed_params(self):
+        """The placed param tree (mesh mode: the single sharded copy).
+        The generation path reuses this instead of re-placing."""
+        return self._params_per_device[0]
+
+    @property
     def buckets(self) -> Sequence[int]:
         return [self.effective_bucket(b) for b in self.cfg.buckets]
 

@@ -158,9 +158,17 @@ class InferenceServer:
                     QuantMode.INT4: 4,
                 }[cfg.model.quantization]
                 draft_params = maybe_quantize_tree(draft_params, bits)
+            # pipelined mesh mode: hand the ModelEngine's already
+            # stacked+placed params over instead of re-placing (halves
+            # startup HBM); GenerationEngine detects the stacked tree
+            gen_params = (
+                self.engine.placed_params()
+                if self.engine.pipelined
+                else model.params
+            )
             self.generation_engine = GenerationEngine(
                 spec,
-                model.params,
+                gen_params,
                 dtype=jnp.bfloat16 if cfg.model.compute_dtype == "BF16" else jnp.float32,
                 num_slots=int(opts.get("num_slots", 8)),
                 max_len=int(opts.get("max_len", 512)),
@@ -172,6 +180,7 @@ class InferenceServer:
                 draft_spec=draft_spec,
                 draft_params=draft_params,
                 speculate_k=int(opts.get("speculate_k", 4)),
+                pipe_microgroups=int(opts.get("pipe_microgroups", 0)),
             )
         else:
             self.runner = TaskRunner(

@@ -1,0 +1,470 @@
+"""Pipelined continuous-batching DECODE over the mesh ``pipe`` axis.
+
+No reference counterpart (SURVEY.md section 2.9: the reference is
+single-node with no pipeline parallelism and no decoders at all) — this
+extends parallel/pipeline.py's forward-only GPipe pipeline to the
+generation engine's prefill/decode loop, so a decoder whose layer stack
+exceeds one chip's HBM can still serve continuous-batching generation:
+each pipeline stage holds L/P contiguous layers AND those layers' slice
+of the INT8 KV cache (the cache's leading [L] axis shards over ``pipe``
+alongside the stacked weights).
+
+Two programs, both single ``shard_map``s with one ``lax.ppermute`` hop
+per tick (TPU-first: no host scheduling, static shapes throughout):
+
+- :func:`pipelined_prefill` — TeraPipe-style SEQUENCE pipelining: the
+  padded prompt splits into C chunks that flow through the stages
+  (chunk m at stage s on tick m+s). In-chunk attention runs at compute
+  precision under a causal mask; attention to earlier chunks reads the
+  INT8 cache rows those chunks already wrote at this stage — chunk m-1
+  passes stage s exactly one tick before chunk m, so writes always
+  precede reads. Numerics match models/decoder.prefill_chunk applied
+  sequentially (same math, same round-trips).
+- :func:`pipelined_decode_step` — SLOT-microbatch pipelining: the S
+  cache slots split into M microgroups that flow through the stages,
+  each advancing one token. Per-slot independence makes this exact: it
+  computes precisely what models/decoder.decode_step computes, stage by
+  stage.
+
+Fill/drain ticks compute garbage; activations are masked out of the
+output buffer and cache writes are neutralized — decode parks invalid
+writes at position t_max-1 (safe by decode_step's own argument: that row
+is rewritten by the slot's write-before-attend step before it can ever
+be attended), prefill read-modify-writes its chunk rows with a
+``jnp.where`` keep of the existing values. Bubble fraction per program
+is (P-1)/(M+P-1); decode ticks are small (G slots x 1 token through L/P
+layers), so prefer num_slots >= 4*stages where HBM allows.
+
+v1 scope: the ``pipe`` axis must be the only non-trivial mesh axis for
+the decode path (data/model/expert composition of the GENERATION engine
+remains GSPMD mesh mode without pipe; the teacher-forcing forward
+composes all four — parallel/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from .mesh import PIPE_AXIS
+from .pipeline import _split_static_bits
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """check kwarg renamed check_rep -> check_vma in jax 0.8."""
+    try:
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def validate_pipe_mesh(mesh: Mesh) -> int:
+    """The decode path's v1 contract: ``pipe`` is the only non-trivial
+    axis. Returns the stage count."""
+    stages = mesh.shape[PIPE_AXIS]
+    others = {
+        name: size
+        for name, size in mesh.shape.items()
+        if name != PIPE_AXIS and size > 1
+    }
+    if others:
+        raise ValueError(
+            "pipelined decoding composes only the 'pipe' mesh axis for "
+            f"now; got extra non-trivial axes {others} (use GSPMD mesh "
+            "mode — data/model/expert without pipe — instead)"
+        )
+    return stages
+
+
+def _layer_scan(spec, stacked_local, reattach, body):
+    """Scan ``body(li, layer_params, carry) -> carry`` over this stage's
+    local layer slice. ``li`` is the LOCAL layer index (traced scalar),
+    used to address the stage's cache shard."""
+
+    def step(carry, layer_arrays):
+        x, caches, li = carry
+        layer = reattach(layer_arrays)
+        x, caches = body(li, layer, x, caches)
+        return (x, caches, li + 1), None
+
+    def run(x, caches):
+        (x, caches, _), _ = jax.lax.scan(
+            step, (x, caches, jnp.int32(0)), stacked_local
+        )
+        return x, caches
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# decode: advance every active slot one token, slots microgrouped
+# ---------------------------------------------------------------------------
+
+def pipelined_decode_step(
+    spec,
+    params,
+    cache,
+    ids: jnp.ndarray,      # int32 [S]
+    active: jnp.ndarray,   # bool [S]
+    mesh: Mesh,
+    dtype=jnp.bfloat16,
+    num_microgroups: int = 0,
+):
+    """Pipe-sharded equivalent of models/decoder.decode_step.
+
+    ``params`` carries STACKED layers (parallel.pipeline.stack_layers /
+    prepare_pipelined_params) whose leading [L] axis — like the cache's —
+    shards over ``pipe``. Returns ``(cache', logits [S, vocab])``.
+    """
+    from ..models.decoder import (
+        _dequantize_kv,
+        _mlp_block,
+        _project_qkv,
+        _quantize_kv,
+        rms_norm,
+        rope,
+    )
+    from ..ops import nn
+
+    stages = validate_pipe_mesh(mesh)
+    s = ids.shape[0]
+    m = num_microgroups or min(stages, s)
+    if s % m != 0:
+        raise ValueError(
+            f"num_slots ({s}) not divisible by decode microgroups ({m})"
+        )
+    g = s // m
+    t_max = cache.max_len
+    lengths = cache.lengths
+    inv = 1.0 / math.sqrt(spec.head_dim)
+    rep = spec.q_heads // spec.kv_heads
+
+    x = nn.embedding(params["embed"], ids[:, None], dtype)  # [S, 1, D]
+    x_mb = x.reshape(m, g, 1, x.shape[-1])
+
+    stacked, reattach = _split_static_bits(params["layers"])
+    param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [1, T]
+
+    def stage_program(layers_local, ck, cv, cks, cvs, x_all):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        total = m + stages - 1
+        perm = [(i, (i + 1) % stages) for i in range(stages)]
+
+        def make_body(rows, write_pos, pos):
+            mask = (key_pos <= pos[:, None])[:, None, None, :]  # [G,1,1,T]
+
+            def body(li, layer, xg, caches):
+                ck, cv, cks, cvs = caches
+                h = rms_norm(layer["attn_norm"], xg)
+                qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+                q = qf.reshape(g, 1, spec.q_heads, spec.head_dim)
+                k = kf.reshape(g, 1, spec.kv_heads, spec.head_dim)
+                v = vf.reshape(g, 1, spec.kv_heads, spec.head_dim)
+                q = rope(q, pos[:, None])
+                k = rope(k, pos[:, None])
+                kq, kscale = _quantize_kv(k[:, 0])  # [G, H, D], [G, H]
+                vq, vscale = _quantize_kv(v[:, 0])
+                ck = ck.at[li, rows, write_pos].set(kq)
+                cv = cv.at[li, rows, write_pos].set(vq)
+                cks = cks.at[li, rows, write_pos].set(kscale)
+                cvs = cvs.at[li, rows, write_pos].set(vscale)
+                off = rows[0]
+                hkv, hd = spec.kv_heads, spec.head_dim
+                k_rows = jax.lax.dynamic_slice(
+                    ck, (li, off, 0, 0, 0), (1, g, t_max, hkv, hd)
+                )[0]
+                v_rows = jax.lax.dynamic_slice(
+                    cv, (li, off, 0, 0, 0), (1, g, t_max, hkv, hd)
+                )[0]
+                ks_rows = jax.lax.dynamic_slice(
+                    cks, (li, off, 0, 0), (1, g, t_max, hkv)
+                )[0]
+                vs_rows = jax.lax.dynamic_slice(
+                    cvs, (li, off, 0, 0), (1, g, t_max, hkv)
+                )[0]
+                k_all = jnp.repeat(
+                    _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
+                )
+                v_all = jnp.repeat(
+                    _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
+                )
+                logits = jnp.einsum(
+                    "sqhd,skhd->shqk", q, k_all,
+                    preferred_element_type=jnp.float32,
+                ) * inv
+                logits = jnp.where(mask, logits, -1e9)
+                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                attn = jnp.einsum(
+                    "shqk,skhd->sqhd", probs, v_all,
+                    preferred_element_type=jnp.float32,
+                ).reshape(g, 1, spec.q_heads * spec.head_dim).astype(dtype)
+                xg = xg + nn.dense(layer["attn"]["o"], attn, dtype)
+                h = rms_norm(layer["mlp_norm"], xg)
+                xg = xg + _mlp_block(spec, layer, h, dtype)
+                return xg, (ck, cv, cks, cvs)
+
+            return body
+
+        def tick(t, carry):
+            buf, outputs, caches = carry
+            mb_idx = jnp.clip(t - stage, 0, m - 1)
+            valid = (t >= stage) & (t - stage < m)
+            off = mb_idx * g
+            rows = off + jnp.arange(g)
+            pos = jnp.take(lengths, rows)
+            act = jnp.take(active, rows) & valid
+            # invalid/inactive writes park at t_max-1 (decode_step's rule)
+            write_pos = jnp.where(act, pos, t_max - 1)
+            x_in = jnp.where(stage == 0, x_all[mb_idx], buf)
+            run = _layer_scan(
+                spec, layers_local, reattach, make_body(rows, write_pos, pos)
+            )
+            y, caches = run(x_in, caches)
+            out_idx = jnp.clip(t - (stages - 1), 0, m - 1)
+            emit = (stage == stages - 1) & (t >= stages - 1)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs,
+                jnp.where(emit, y[:, 0, :], outputs[out_idx]),
+                out_idx,
+                axis=0,
+            )
+            buf = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return buf, outputs, caches
+
+        buf0 = jnp.zeros_like(x_all[0])
+        out0 = jnp.zeros((m, g, x_all.shape[-1]), x_all.dtype)
+        _, outputs, caches = jax.lax.fori_loop(
+            0, total, tick, (buf0, out0, (ck, cv, cks, cvs))
+        )
+        outputs = jnp.where(stage == stages - 1, outputs, 0)
+        return (jax.lax.psum(outputs, PIPE_AXIS),) + caches
+
+    pipe = P(PIPE_AXIS)
+    program = _shard_map(
+        stage_program,
+        mesh,
+        in_specs=(param_specs, pipe, pipe, pipe, pipe, P()),
+        out_specs=(P(), pipe, pipe, pipe, pipe),
+    )
+    out, ck, cv, cks, cvs = program(
+        stacked, cache.k, cache.v, cache.k_scale, cache.v_scale, x_mb
+    )
+    x = out.reshape(s, -1)
+    from ..models.decoder import rms_norm as _rms
+    from ..ops import nn as _nn
+
+    x = _rms(params["final_norm"], x)
+    logits = _nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
+    new_lengths = jnp.where(active, lengths + 1, lengths)
+    return cache._replace(
+        k=ck, v=cv, k_scale=cks, v_scale=cvs, lengths=new_lengths
+    ), logits
+
+
+# ---------------------------------------------------------------------------
+# prefill: write one prompt into one slot, sequence-chunk pipelined
+# ---------------------------------------------------------------------------
+
+def pipelined_prefill(
+    spec,
+    params,
+    cache,
+    ids: jnp.ndarray,      # int32 [P] padded prompt
+    length: jnp.ndarray,   # int32 scalar: true prompt length
+    slot: jnp.ndarray,     # int32 scalar: target slot
+    mesh: Mesh,
+    dtype=jnp.bfloat16,
+    num_chunks: int = 0,
+):
+    """Pipe-sharded prefill: TeraPipe sequence chunking over the stages.
+
+    Numerics match models/decoder.prefill_chunk run chunk-by-chunk (past
+    keys round-trip the INT8 cache, in-chunk keys stay at compute
+    precision). Returns ``(cache', last_logits [vocab])``.
+    """
+    from ..models.decoder import (
+        _dequantize_kv,
+        _mlp_block,
+        _project_qkv,
+        _quantize_kv,
+        rms_norm,
+        rope,
+    )
+    from ..ops import nn
+
+    stages = validate_pipe_mesh(mesh)
+    p = ids.shape[0]
+    n_chunks = num_chunks or stages
+    if p % n_chunks != 0:
+        raise ValueError(
+            f"prefill bucket ({p}) not divisible by pipeline chunks "
+            f"({n_chunks})"
+        )
+    c = p // n_chunks
+    t_max = cache.max_len
+    inv = 1.0 / math.sqrt(spec.head_dim)
+    rep = spec.q_heads // spec.kv_heads
+    hkv, hd = spec.kv_heads, spec.head_dim
+
+    x = nn.embedding(params["embed"], ids[None, :], dtype)  # [1, P, D]
+    x_chunks = x.reshape(n_chunks, 1, c, x.shape[-1])
+
+    stacked, reattach = _split_static_bits(params["layers"])
+    param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    cur_mask = jnp.tril(jnp.ones((c, c), bool))[None, None]  # [1,1,C,C]
+
+    def stage_program(layers_local, ck, cv, cks, cvs, x_all):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        total = n_chunks + stages - 1
+        perm = [(i, (i + 1) % stages) for i in range(stages)]
+
+        def make_body(start, valid):
+            positions = start + jnp.arange(c, dtype=jnp.int32)
+            past_mask = (key_pos[None, :] < start)[None, None]  # [1,1,1→C,T]
+
+            def body(li, layer, xc, caches):
+                ck, cv, cks, cvs = caches
+                h = rms_norm(layer["attn_norm"], xc)
+                qf, kf, vf = _project_qkv(spec, layer, h, dtype)
+                q = qf.reshape(1, c, spec.q_heads, hd)
+                k = kf.reshape(1, c, hkv, hd)
+                v = vf.reshape(1, c, hkv, hd)
+                q = rope(q, positions[None])
+                k = rope(k, positions[None])
+                kq, kscale = _quantize_kv(k[0])   # [C, H, D], [C, H]
+                vq, vscale = _quantize_kv(v[0])
+
+                # read-modify-write the chunk rows: fill/drain ticks keep
+                # the existing values (no parking spot needed)
+                def rmw(buf, new, ndim_tail):
+                    idx = (li, slot, start) + (jnp.int32(0),) * ndim_tail
+                    sizes = (1, 1, c) + new.shape[1:]
+                    cur = jax.lax.dynamic_slice(buf, idx, sizes)
+                    sel = jnp.where(valid, new[None, None], cur)
+                    return jax.lax.dynamic_update_slice(buf, sel, idx)
+
+                ck = rmw(ck, kq, 2)
+                cv = rmw(cv, vq, 2)
+                cks = rmw(cks, kscale, 1)
+                cvs = rmw(cvs, vscale, 1)
+
+                # past attention over the INT8 cache row (pos < start)
+                row_k = _dequantize_kv(
+                    jax.lax.dynamic_slice(
+                        ck, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
+                    )[0, 0],
+                    jax.lax.dynamic_slice(
+                        cks, (li, slot, 0, 0), (1, 1, t_max, hkv)
+                    )[0, 0],
+                    dtype,
+                )
+                row_v = _dequantize_kv(
+                    jax.lax.dynamic_slice(
+                        cv, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
+                    )[0, 0],
+                    jax.lax.dynamic_slice(
+                        cvs, (li, slot, 0, 0), (1, 1, t_max, hkv)
+                    )[0, 0],
+                    dtype,
+                )
+                row_k = jnp.repeat(row_k, rep, axis=1)[None]
+                row_v = jnp.repeat(row_v, rep, axis=1)[None]
+                s_past = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, row_k,
+                    preferred_element_type=jnp.float32,
+                ) * inv
+                s_past = jnp.where(past_mask, s_past, -1e9)
+                kc = jnp.repeat(k, rep, axis=2)
+                vc = jnp.repeat(v, rep, axis=2)
+                s_cur = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, kc,
+                    preferred_element_type=jnp.float32,
+                ) * inv
+                s_cur = jnp.where(cur_mask, s_cur, -1e9)
+                probs = jax.nn.softmax(
+                    jnp.concatenate([s_past, s_cur], axis=-1), axis=-1
+                ).astype(dtype)
+                p_past, p_cur = probs[..., :t_max], probs[..., t_max:]
+                attn = jnp.einsum(
+                    "bhqk,bkhd->bqhd", p_past, row_v,
+                    preferred_element_type=jnp.float32,
+                )
+                attn = attn + jnp.einsum(
+                    "bhqk,bkhd->bqhd", p_cur, vc,
+                    preferred_element_type=jnp.float32,
+                )
+                attn = attn.reshape(1, c, spec.q_heads * hd).astype(dtype)
+                xc = xc + nn.dense(layer["attn"]["o"], attn, dtype)
+                h = rms_norm(layer["mlp_norm"], xc)
+                xc = xc + _mlp_block(spec, layer, h, dtype)
+                return xc, (ck, cv, cks, cvs)
+
+            return body
+
+        def tick(t, carry):
+            buf, outputs, caches = carry
+            mb_idx = jnp.clip(t - stage, 0, n_chunks - 1)
+            valid = (t >= stage) & (t - stage < n_chunks)
+            start = mb_idx * c
+            x_in = jnp.where(stage == 0, x_all[mb_idx], buf)
+            run = _layer_scan(
+                spec, layers_local, reattach, make_body(start, valid)
+            )
+            y, caches = run(x_in, caches)
+            out_idx = jnp.clip(t - (stages - 1), 0, n_chunks - 1)
+            emit = (stage == stages - 1) & (t >= stages - 1)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs,
+                jnp.where(emit, y, outputs[out_idx]),
+                out_idx,
+                axis=0,
+            )
+            buf = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return buf, outputs, caches
+
+        buf0 = jnp.zeros_like(x_all[0])
+        out0 = jnp.zeros_like(x_all)
+        _, outputs, caches = jax.lax.fori_loop(
+            0, total, tick, (buf0, out0, (ck, cv, cks, cvs))
+        )
+        outputs = jnp.where(stage == stages - 1, outputs, 0)
+        return (jax.lax.psum(outputs, PIPE_AXIS),) + caches
+
+    pipe = P(PIPE_AXIS)
+    program = _shard_map(
+        stage_program,
+        mesh,
+        in_specs=(param_specs, pipe, pipe, pipe, pipe, P()),
+        out_specs=(P(), pipe, pipe, pipe, pipe),
+    )
+    out, ck, cv, cks, cvs = program(
+        stacked, cache.k, cache.v, cache.k_scale, cache.v_scale, x_chunks
+    )
+    x_full = out.reshape(p, -1)  # [P, D]
+    from ..models.decoder import rms_norm as _rms
+
+    last = x_full[length - 1]
+    last = _rms(params["final_norm"], last[None, :])
+    logits = nn.dense(params["lm_head"], last, dtype)[0]
+    cache = cache._replace(
+        k=ck, v=cv, k_scale=cks, v_scale=cvs,
+        lengths=cache.lengths.at[slot].set(length),
+    )
+    return cache, logits.astype(jnp.float32)

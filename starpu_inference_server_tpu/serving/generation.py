@@ -118,6 +118,7 @@ class GenerationEngine:
         draft_spec: Optional[DecoderSpec] = None,
         draft_params=None,
         speculate_k: int = 4,
+        pipe_microgroups: int = 0,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
         weights shard tensor-/expert-parallel per partition.py rules, the
@@ -125,23 +126,67 @@ class GenerationEngine:
         ``data`` axis (slots are independent, so slot-sharding is the
         decoder analogue of batch data-parallelism), and GSPMD inserts
         the collectives. Pallas fused kernels are single-device programs,
-        so mesh mode keeps the XLA dequant+dot path."""
+        so mesh mode keeps the XLA dequant+dot path.
+
+        A mesh whose ``pipe`` axis is >1 (and every other axis 1)
+        instead selects PIPELINED decoding (parallel/pipeline_decode.py):
+        the stacked layer weights and the cache's layer axis shard over
+        ``pipe``; prefill sequence-chunks and decode slot-microgroups
+        flow through the stages. ``params`` may be pre-stacked+placed
+        (parallel.pipeline.prepare_pipelined_params — the server reuses
+        the ModelEngine's placement) or a raw tree, which is prepared
+        here. ``pipe_microgroups`` sets the decode microgroup count
+        (0 = min(stages, num_slots))."""
         self.spec = spec
         self.mesh = mesh
         self._family = family
+        self._pipe_stages = 0
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, PIPE_AXIS
 
-            data_size = mesh.shape.get(DATA_AXIS, 1)
-            if num_slots % data_size != 0:
-                raise ValueError(
-                    f"num_slots ({num_slots}) must be divisible by the "
-                    f"mesh data axis ({data_size}) to shard the KV slots"
+            if mesh.shape.get(PIPE_AXIS, 1) > 1:
+                from ..parallel.pipeline_decode import validate_pipe_mesh
+
+                self._pipe_stages = validate_pipe_mesh(mesh)
+                if draft_spec is not None:
+                    raise ValueError(
+                        "speculative decoding and pipelined decoding do "
+                        "not compose yet: drop draft_variant or the pipe "
+                        "mesh axis"
+                    )
+                if prefill_chunk:
+                    raise ValueError(
+                        "prefill_chunk and pipelined decoding do not "
+                        "compose: the pipelined prefill already chunks "
+                        "the prompt over the stages (set prefill_chunk=0)"
+                    )
+                for b in prefill_buckets or [32, 64, 128, 256]:
+                    if b % self._pipe_stages != 0:
+                        raise ValueError(
+                            f"prefill bucket {b} not divisible by "
+                            f"{self._pipe_stages} pipeline stages"
+                        )
+                self._microgroups = pipe_microgroups or min(
+                    self._pipe_stages, num_slots
                 )
-            self._slot_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            self._cache_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+                if num_slots % self._microgroups != 0:
+                    raise ValueError(
+                        f"num_slots ({num_slots}) not divisible by decode "
+                        f"microgroups ({self._microgroups})"
+                    )
+                self._cache_sharding = NamedSharding(mesh, P(PIPE_AXIS))
+                self._slot_sharding = NamedSharding(mesh, P())
+            else:
+                data_size = mesh.shape.get(DATA_AXIS, 1)
+                if num_slots % data_size != 0:
+                    raise ValueError(
+                        f"num_slots ({num_slots}) must be divisible by the "
+                        f"mesh data axis ({data_size}) to shard the KV slots"
+                    )
+                self._slot_sharding = NamedSharding(mesh, P(DATA_AXIS))
+                self._cache_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
         self.params = self._place_params(params)
         self.dtype = dtype
         self.num_slots = num_slots
@@ -207,9 +252,34 @@ class GenerationEngine:
             )
 
         # jit: cache buffers donated -> in-place updates on device
-        self._prefill = jax.jit(
-            partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
-        )
+        if self._pipe_stages:
+            from ..parallel.pipeline_decode import (
+                pipelined_decode_step,
+                pipelined_prefill,
+            )
+
+            self._prefill = jax.jit(
+                partial(
+                    pipelined_prefill,
+                    spec,
+                    mesh=self.mesh,
+                    dtype=self.dtype,
+                    num_chunks=self._pipe_stages,
+                ),
+                donate_argnums=(1,),
+            )
+            self._step_fn = partial(
+                pipelined_decode_step,
+                spec,
+                mesh=self.mesh,
+                dtype=self.dtype,
+                num_microgroups=self._microgroups,
+            )
+        else:
+            self._prefill = jax.jit(
+                partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
+            )
+            self._step_fn = partial(decode_step, spec, dtype=self.dtype)
         self._decode = jax.jit(
             self._decode_and_sample, donate_argnums=(1,)
         )
@@ -234,6 +304,15 @@ class GenerationEngine:
         """Mirror of ModelEngine placement: mesh mode shards per
         partition rules; single-TPU mode packs int4 leaves for the Pallas
         kernels; CPU just device_puts."""
+        if self._pipe_stages:
+            if isinstance(params.get("layers"), dict):
+                return params  # already stacked+placed by the ModelEngine
+            from ..parallel.partition import partition_rules_for
+            from ..parallel.pipeline import prepare_pipelined_params
+
+            return prepare_pipelined_params(
+                params, self.mesh, partition_rules_for(self._family)
+            )
         if self.mesh is not None:
             from ..parallel.partition import partition_rules_for, shard_params
 
@@ -355,9 +434,7 @@ class GenerationEngine:
 
         def body(i, carry):
             cache, ids, tokens = carry
-            cache, logits = decode_step(
-                self.spec, params, cache, ids, active, self.dtype
-            )
+            cache, logits = self._step_fn(params, cache, ids, active)
             step_keys = jax.vmap(
                 lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg + i)
             )(seeds, progress)
