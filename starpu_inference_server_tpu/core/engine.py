@@ -55,6 +55,15 @@ class ModelEngine:
         self.devices: List[jax.Device] = all_devices
         self.platform = self.devices[0].platform
 
+        from ..utils.config import QuantMode as _QM
+
+        # W8A8: dense layers quantize activations per-token and run the
+        # s8 x s8 -> s32 MXU path (ops/nn.py); works single-device and
+        # under GSPMD mesh sharding alike
+        from ..ops import nn as _nn
+
+        _nn.set_w8a8(model.quant is _QM.W8A8)
+
         if self.platform == "tpu" and cfg.devices.mesh.size <= 1:
             # Pallas fused kernels are single-device programs; in mesh
             # mode GSPMD partitions the XLA dequant+dot path instead

@@ -156,6 +156,7 @@ class InferenceServer:
                     QuantMode.NONE: None,
                     QuantMode.INT8: 8,
                     QuantMode.INT4: 4,
+                    QuantMode.W8A8: 8,
                 }[cfg.model.quantization]
                 draft_params = maybe_quantize_tree(draft_params, bits)
             # pipelined mesh mode: hand the ModelEngine's already

@@ -104,7 +104,8 @@ def build_model(settings: ModelSettings, seed: int = 0) -> BuiltModel:
         params = definition.init_params(rng)
     else:
         params = load_params(settings.params)
-    bits = {QuantMode.NONE: None, QuantMode.INT8: 8, QuantMode.INT4: 4}[
+    bits = {QuantMode.NONE: None, QuantMode.INT8: 8, QuantMode.INT4: 4,
+            QuantMode.W8A8: 8}[
         settings.quantization
     ]
     params = maybe_quantize_tree(params, bits)

@@ -28,6 +28,14 @@ from .quant import (
 # Toggled by the engine when running on real TPU; tests exercise both.
 _USE_PALLAS = False
 
+# W8A8 compute: dense layers with INT8 weights also quantize their
+# activations per-token and run the s8 x s8 -> s32 MXU path (2x the
+# bf16 rate on v5e-class chips). Toggled by the engine from the model's
+# quantization mode (QuantMode.W8A8); like the reference's process-wide
+# LibTorch settings (server_main_bootstrap.hpp:106-150), this is one
+# model per process.
+_W8A8 = False
+
 
 def set_use_pallas(enabled: bool) -> None:
     global _USE_PALLAS
@@ -36,6 +44,15 @@ def set_use_pallas(enabled: bool) -> None:
 
 def use_pallas() -> bool:
     return _USE_PALLAS
+
+
+def set_w8a8(enabled: bool) -> None:
+    global _W8A8
+    _W8A8 = bool(enabled)
+
+
+def w8a8() -> bool:
+    return _W8A8
 
 
 def resolve_weight(w, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -74,6 +91,22 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
         x2 = x.reshape(rows, x.shape[-1])
         y = int8_matmul(x2.astype(dtype), w["w_q"], w["scale"])
+        y = y.reshape(*x.shape[:-1], -1)
+    elif is_quantized_leaf(w) and _W8A8:
+        # W8A8: per-token dynamic activation quant feeds the s8 x s8 ->
+        # s32 MXU; the int32 result rescales by (row scale x channel
+        # scale). Also correct for int4-valued carriers in [-7,7].
+        from .quant import quantize_activations
+
+        x2 = x.reshape(rows, x.shape[-1])
+        x_q, sx = quantize_activations(x2)
+        y = jax.lax.dot_general(
+            x_q,
+            w["w_q"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * sx * w["scale"].reshape(1, -1)
         y = y.reshape(*x.shape[:-1], -1)
     else:
         wm = resolve_weight(w, dtype)

@@ -45,6 +45,20 @@ def dequantize(
     return (w_q.astype(jnp.float32) * scale).astype(dtype)
 
 
+def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-row (per-token) symmetric INT8 activation quantization
+    for the W8A8 compute path: the s8 x s8 -> s32 MXU runs at twice the
+    bf16 rate on v5e-class chips, so large-M dense layers (BERT/ViT
+    blocks, decoder prefill) trade ~0.2% relative error for ~2x matmul
+    throughput. Returns ``(x_q int8 [..., K], scale f32 [..., 1])`` with
+    ``x ~= x_q * scale``; all-zero rows get scale 1 (x_q = 0)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    x_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
 def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
     """Pack an int4-valued int8 array pairwise along the first axis into
     one uint8 per two values (low nibble = even row, high = odd row)."""

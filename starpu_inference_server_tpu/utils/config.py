@@ -54,6 +54,9 @@ class QuantMode(enum.Enum):
     NONE = "none"
     INT8 = "int8"
     INT4 = "int4"
+    # INT8 weights + dynamic per-token INT8 activations: dense layers run
+    # the s8 x s8 -> s32 MXU path (2x bf16 rate on v5e-class chips)
+    W8A8 = "w8a8"
 
 
 class SchedulerPolicy(enum.Enum):
