@@ -37,7 +37,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .mesh import EXPERT_AXIS, MODEL_AXIS, PIPE_AXIS
+from .mesh import MODEL_AXIS, PIPE_AXIS
 
 
 def stack_layers(layers):
@@ -261,77 +261,31 @@ def pipelined_decoder_logits(
     from ..models.decoder import rms_norm, rope
     from ..ops import nn
     from .partition import _DECODER_RULES
+    from .stage_body import (
+        local_qkv_slices,
+        tp_attn_out,
+        tp_mlp_block,
+        tp_project_qkv,
+    )
     from .tp_layout import shuffle_decoder_layer_for_tp, validate_decoder_tp
 
     tp = mesh.shape[MODEL_AXIS]
-    ep = mesh.shape[EXPERT_AXIS]
     validate_decoder_tp(spec, tp)
-    qh = spec.q_heads // tp
-    kvh = spec.kv_heads // tp
+    _, _, qh, kvh = local_qkv_slices(spec, tp)
     d = spec.head_dim
-    dq, dkv = qh * d, kvh * d
 
     b, t = ids.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
     causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
 
-    def dense_mlp(layer, h):
-        # gate_up columns are the LOCAL [gate_d | up_d] block; the down
-        # row shard matches the local activation columns -> partial sums
-        fused = nn.dense(layer["mlp"]["gate_up"], h, dtype)
-        inter = fused.shape[-1] // 2
-        act = jax.nn.silu(fused[..., :inter].astype(jnp.float32)).astype(
-            dtype
-        ) * fused[..., inter:]
-        y = nn.dense(layer["mlp"]["down"], act, dtype)
-        return jax.lax.psum(y, MODEL_AXIS)
-
-    def moe_mlp(layer, h):
-        # Router replicates (every device routes identically); each
-        # device computes its LOCAL experts' local column slice and the
-        # combine reduction completes in one psum over (expert, model).
-        moe = layer["mlp"]
-        lead = h.shape[:-1]
-        xf = h.reshape(-1, h.shape[-1])  # [T, H]
-        logits = nn.dense(moe["router"], xf, dtype).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        vals, idx = jax.lax.top_k(probs, spec.experts_per_token)
-        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
-        combine = jnp.sum(
-            jax.nn.one_hot(idx, spec.num_experts, dtype=jnp.float32)
-            * vals[..., None],
-            axis=1,
-        )  # [T, E] over ALL experts
-        wg = nn.resolve_weight(moe["experts"]["gate_up"]["w"], dtype)
-        wd = nn.resolve_weight(moe["experts"]["down"]["w"], dtype)
-        e_local = wg.shape[0]
-        off = jax.lax.axis_index(EXPERT_AXIS) * e_local
-        combine_l = jax.lax.dynamic_slice_in_dim(
-            combine, off, e_local, axis=1
-        )  # [T, E_local]
-        he = jnp.einsum(
-            "th,ehf->etf",
-            xf.astype(dtype),
-            wg,
-            preferred_element_type=jnp.float32,
-        )
-        inter = he.shape[-1] // 2
-        act = (jax.nn.silu(he[..., :inter]) * he[..., inter:]).astype(dtype)
-        y = jnp.einsum(
-            "eti,eih->eth", act, wd, preferred_element_type=jnp.float32
-        )
-        y = jnp.einsum("te,eth->th", combine_l, y)
-        y = jax.lax.psum(y, (EXPERT_AXIS, MODEL_AXIS))
-        return y.reshape(*lead, h.shape[-1]).astype(dtype)
-
     def layer_fn(layer, x):
         bt = x.shape[0]
         pos = positions[:bt]
         h = rms_norm(layer["attn_norm"], x)
-        fused = nn.dense(layer["attn"]["qkv"], h, dtype)
-        q = fused[..., :dq].reshape(bt, t, qh, d)
-        k = fused[..., dq : dq + dkv].reshape(bt, t, kvh, d)
-        v = fused[..., dq + dkv :].reshape(bt, t, kvh, d)
+        qf, kf, vf = tp_project_qkv(spec, tp, layer, h, dtype)
+        q = qf.reshape(bt, t, qh, d)
+        k = kf.reshape(bt, t, kvh, d)
+        v = vf.reshape(bt, t, kvh, d)
         q = rope(q, pos)
         k = rope(k, pos)
         rep = qh // kvh
@@ -345,11 +299,9 @@ def pipelined_decoder_logits(
         attn = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         ).reshape(bt, t, qh * d).astype(dtype)
-        o = nn.dense(layer["attn"]["o"], attn, dtype)
-        x = x + jax.lax.psum(o, MODEL_AXIS)
+        x = x + tp_attn_out(layer, attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
-        mlp = moe_mlp if "router" in layer["mlp"] else dense_mlp
-        return x + mlp(layer, h)
+        return x + tp_mlp_block(spec, layer, h, dtype)
 
     from ..models.decoder import rms_norm as _rms  # final norm reuse
 

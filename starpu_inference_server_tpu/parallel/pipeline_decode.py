@@ -35,10 +35,16 @@ be attended), prefill read-modify-writes its chunk rows with a
 is (P-1)/(M+P-1); decode ticks are small (G slots x 1 token through L/P
 layers), so prefer num_slots >= 4*stages where HBM allows.
 
-v1 scope: the ``pipe`` axis must be the only non-trivial mesh axis for
-the decode path (data/model/expert composition of the GENERATION engine
-remains GSPMD mesh mode without pipe; the teacher-forcing forward
-composes all four — parallel/pipeline.py).
+Tensor/expert parallelism composes INSIDE each stage (same contract as
+the pipelined forward, parallel/pipeline.py): per-layer weight dims
+shard over the ``model``/``expert`` mesh axes, the KV cache's head axis
+shards over ``model`` alongside the column-parallel kv projections, and
+the stage body owes the manual collectives (parallel/stage_body.py) —
+one psum over ``model`` per row-parallel projection, one over
+(``expert``, ``model``) for the MoE combine. Fused qkv / gate_up must
+be block-shuffled at placement (parallel/tp_layout.py). Only the
+``data`` axis is excluded: slots flow through the stages whole, so
+slot-data-sharding belongs to GSPMD mesh mode (no pipe) instead.
 """
 
 from __future__ import annotations
@@ -55,8 +61,14 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .mesh import PIPE_AXIS
-from .pipeline import _split_static_bits
+from .mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
+from .pipeline import _split_static_bits, _stacked_in_specs
+from .stage_body import (
+    local_qkv_slices,
+    tp_attn_out,
+    tp_mlp_block,
+    tp_project_qkv,
+)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -74,21 +86,31 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def validate_pipe_mesh(mesh: Mesh) -> int:
-    """The decode path's v1 contract: ``pipe`` is the only non-trivial
-    axis. Returns the stage count."""
+    """The pipelined decode path's mesh contract: ``model``/``expert``
+    compose inside the stages, but the ``data`` axis must be 1 — slots
+    flow through the stages whole (microgroups ARE the decode path's
+    slot partitioning), so slot-data-sharding belongs to GSPMD mesh mode
+    (no pipe) instead. Returns the stage count."""
     stages = mesh.shape[PIPE_AXIS]
-    others = {
-        name: size
-        for name, size in mesh.shape.items()
-        if name != PIPE_AXIS and size > 1
-    }
-    if others:
+    data = mesh.shape.get(DATA_AXIS, 1)
+    if data > 1:
         raise ValueError(
-            "pipelined decoding composes only the 'pipe' mesh axis for "
-            f"now; got extra non-trivial axes {others} (use GSPMD mesh "
-            "mode — data/model/expert without pipe — instead)"
+            f"pipelined decoding does not compose with the 'data' mesh "
+            f"axis (got data={data}): slots microgroup over 'pipe' "
+            "instead — use GSPMD mesh mode (data/model/expert without "
+            "pipe) for slot-sharded decoding"
         )
     return stages
+
+
+def _cache_specs(mesh: Mesh):
+    """shard_map PartitionSpecs for the KV cache arrays: the [L] layer
+    axis shards over ``pipe`` alongside the stacked weights, and the
+    head axis shards over ``model`` alongside the column-parallel kv
+    projections (each device quantizes/attends only its local heads)."""
+    kv = P(PIPE_AXIS, None, None, MODEL_AXIS, None)   # [L, S, T, Hkv, D]
+    scale = P(PIPE_AXIS, None, None, MODEL_AXIS)      # [L, S, T, Hkv]
+    return kv, scale
 
 
 def _layer_scan(spec, stacked_local, reattach, body):
@@ -129,19 +151,19 @@ def pipelined_decode_step(
 
     ``params`` carries STACKED layers (parallel.pipeline.stack_layers /
     prepare_pipelined_params) whose leading [L] axis — like the cache's —
-    shards over ``pipe``. Returns ``(cache', logits [S, vocab])``.
+    shards over ``pipe``; per-layer dims and the cache's head axis
+    additionally shard over ``model``/``expert`` (TP/EP inside each
+    stage, with block-shuffled fused layouts — tp_layout.py). Returns
+    ``(cache', logits [S, vocab])``.
     """
-    from ..models.decoder import (
-        _dequantize_kv,
-        _mlp_block,
-        _project_qkv,
-        _quantize_kv,
-        rms_norm,
-        rope,
-    )
+    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
     from ..ops import nn
+    from .partition import _DECODER_RULES
+    from .tp_layout import validate_decoder_tp
 
     stages = validate_pipe_mesh(mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    validate_decoder_tp(spec, tp)
     s = ids.shape[0]
     m = num_microgroups or min(stages, s)
     if s % m != 0:
@@ -152,13 +174,15 @@ def pipelined_decode_step(
     t_max = cache.max_len
     lengths = cache.lengths
     inv = 1.0 / math.sqrt(spec.head_dim)
-    rep = spec.q_heads // spec.kv_heads
+    _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
+    rep = qh // kvh
 
     x = nn.embedding(params["embed"], ids[:, None], dtype)  # [S, 1, D]
     x_mb = x.reshape(m, g, 1, x.shape[-1])
 
+    param_specs = _stacked_in_specs(params["layers"], _DECODER_RULES)
     stacked, reattach = _split_static_bits(params["layers"])
-    param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    kv_spec, scale_spec = _cache_specs(mesh)
     key_pos = jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [1, T]
 
     def stage_program(layers_local, ck, cv, cks, cvs, x_all):
@@ -172,31 +196,31 @@ def pipelined_decode_step(
             def body(li, layer, xg, caches):
                 ck, cv, cks, cvs = caches
                 h = rms_norm(layer["attn_norm"], xg)
-                qf, kf, vf = _project_qkv(spec, layer, h, dtype)
-                q = qf.reshape(g, 1, spec.q_heads, spec.head_dim)
-                k = kf.reshape(g, 1, spec.kv_heads, spec.head_dim)
-                v = vf.reshape(g, 1, spec.kv_heads, spec.head_dim)
+                qf, kf, vf = tp_project_qkv(spec, tp, layer, h, dtype)
+                q = qf.reshape(g, 1, qh, spec.head_dim)
+                k = kf.reshape(g, 1, kvh, spec.head_dim)
+                v = vf.reshape(g, 1, kvh, spec.head_dim)
                 q = rope(q, pos[:, None])
                 k = rope(k, pos[:, None])
-                kq, kscale = _quantize_kv(k[:, 0])  # [G, H, D], [G, H]
+                kq, kscale = _quantize_kv(k[:, 0])  # [G, H_l, D], [G, H_l]
                 vq, vscale = _quantize_kv(v[:, 0])
                 ck = ck.at[li, rows, write_pos].set(kq)
                 cv = cv.at[li, rows, write_pos].set(vq)
                 cks = cks.at[li, rows, write_pos].set(kscale)
                 cvs = cvs.at[li, rows, write_pos].set(vscale)
                 off = rows[0]
-                hkv, hd = spec.kv_heads, spec.head_dim
+                hd = spec.head_dim
                 k_rows = jax.lax.dynamic_slice(
-                    ck, (li, off, 0, 0, 0), (1, g, t_max, hkv, hd)
+                    ck, (li, off, 0, 0, 0), (1, g, t_max, kvh, hd)
                 )[0]
                 v_rows = jax.lax.dynamic_slice(
-                    cv, (li, off, 0, 0, 0), (1, g, t_max, hkv, hd)
+                    cv, (li, off, 0, 0, 0), (1, g, t_max, kvh, hd)
                 )[0]
                 ks_rows = jax.lax.dynamic_slice(
-                    cks, (li, off, 0, 0), (1, g, t_max, hkv)
+                    cks, (li, off, 0, 0), (1, g, t_max, kvh)
                 )[0]
                 vs_rows = jax.lax.dynamic_slice(
-                    cvs, (li, off, 0, 0), (1, g, t_max, hkv)
+                    cvs, (li, off, 0, 0), (1, g, t_max, kvh)
                 )[0]
                 k_all = jnp.repeat(
                     _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
@@ -213,10 +237,10 @@ def pipelined_decode_step(
                 attn = jnp.einsum(
                     "shqk,skhd->sqhd", probs, v_all,
                     preferred_element_type=jnp.float32,
-                ).reshape(g, 1, spec.q_heads * spec.head_dim).astype(dtype)
-                xg = xg + nn.dense(layer["attn"]["o"], attn, dtype)
+                ).reshape(g, 1, qh * spec.head_dim).astype(dtype)
+                xg = xg + tp_attn_out(layer, attn, dtype)
                 h = rms_norm(layer["mlp_norm"], xg)
-                xg = xg + _mlp_block(spec, layer, h, dtype)
+                xg = xg + tp_mlp_block(spec, layer, h, dtype)
                 return xg, (ck, cv, cks, cvs)
 
             return body
@@ -255,12 +279,11 @@ def pipelined_decode_step(
         outputs = jnp.where(stage == stages - 1, outputs, 0)
         return (jax.lax.psum(outputs, PIPE_AXIS),) + caches
 
-    pipe = P(PIPE_AXIS)
     program = _shard_map(
         stage_program,
         mesh,
-        in_specs=(param_specs, pipe, pipe, pipe, pipe, P()),
-        out_specs=(P(), pipe, pipe, pipe, pipe),
+        in_specs=(param_specs, kv_spec, kv_spec, scale_spec, scale_spec, P()),
+        out_specs=(P(), kv_spec, kv_spec, scale_spec, scale_spec),
     )
     out, ck, cv, cks, cvs = program(
         stacked, cache.k, cache.v, cache.k_scale, cache.v_scale, x_mb
@@ -296,19 +319,18 @@ def pipelined_prefill(
 
     Numerics match models/decoder.prefill_chunk run chunk-by-chunk (past
     keys round-trip the INT8 cache, in-chunk keys stay at compute
-    precision). Returns ``(cache', last_logits [vocab])``.
+    precision). TP/EP compose inside the stages exactly as in
+    :func:`pipelined_decode_step`. Returns ``(cache', last_logits
+    [vocab])``.
     """
-    from ..models.decoder import (
-        _dequantize_kv,
-        _mlp_block,
-        _project_qkv,
-        _quantize_kv,
-        rms_norm,
-        rope,
-    )
+    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
     from ..ops import nn
+    from .partition import _DECODER_RULES
+    from .tp_layout import validate_decoder_tp
 
     stages = validate_pipe_mesh(mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    validate_decoder_tp(spec, tp)
     p = ids.shape[0]
     n_chunks = num_chunks or stages
     if p % n_chunks != 0:
@@ -319,14 +341,16 @@ def pipelined_prefill(
     c = p // n_chunks
     t_max = cache.max_len
     inv = 1.0 / math.sqrt(spec.head_dim)
-    rep = spec.q_heads // spec.kv_heads
-    hkv, hd = spec.kv_heads, spec.head_dim
+    _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
+    rep = qh // kvh
+    hkv, hd = kvh, spec.head_dim
 
     x = nn.embedding(params["embed"], ids[None, :], dtype)  # [1, P, D]
     x_chunks = x.reshape(n_chunks, 1, c, x.shape[-1])
 
+    param_specs = _stacked_in_specs(params["layers"], _DECODER_RULES)
     stacked, reattach = _split_static_bits(params["layers"])
-    param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    kv_spec, scale_spec = _cache_specs(mesh)
     key_pos = jnp.arange(t_max, dtype=jnp.int32)
     cur_mask = jnp.tril(jnp.ones((c, c), bool))[None, None]  # [1,1,C,C]
 
@@ -342,8 +366,8 @@ def pipelined_prefill(
             def body(li, layer, xc, caches):
                 ck, cv, cks, cvs = caches
                 h = rms_norm(layer["attn_norm"], xc)
-                qf, kf, vf = _project_qkv(spec, layer, h, dtype)
-                q = qf.reshape(1, c, spec.q_heads, hd)
+                qf, kf, vf = tp_project_qkv(spec, tp, layer, h, dtype)
+                q = qf.reshape(1, c, qh, hd)
                 k = kf.reshape(1, c, hkv, hd)
                 v = vf.reshape(1, c, hkv, hd)
                 q = rope(q, positions[None])
@@ -410,10 +434,10 @@ def pipelined_prefill(
                     "bhqk,bkhd->bqhd", p_cur, vc,
                     preferred_element_type=jnp.float32,
                 )
-                attn = attn.reshape(1, c, spec.q_heads * hd).astype(dtype)
-                xc = xc + nn.dense(layer["attn"]["o"], attn, dtype)
+                attn = attn.reshape(1, c, qh * hd).astype(dtype)
+                xc = xc + tp_attn_out(layer, attn, dtype)
                 h = rms_norm(layer["mlp_norm"], xc)
-                xc = xc + _mlp_block(spec, layer, h, dtype)
+                xc = xc + tp_mlp_block(spec, layer, h, dtype)
                 return xc, (ck, cv, cks, cvs)
 
             return body
@@ -447,12 +471,11 @@ def pipelined_prefill(
         outputs = jnp.where(stage == stages - 1, outputs, 0)
         return (jax.lax.psum(outputs, PIPE_AXIS),) + caches
 
-    pipe = P(PIPE_AXIS)
     program = _shard_map(
         stage_program,
         mesh,
-        in_specs=(param_specs, pipe, pipe, pipe, pipe, P()),
-        out_specs=(P(), pipe, pipe, pipe, pipe),
+        in_specs=(param_specs, kv_spec, kv_spec, scale_spec, scale_spec, P()),
+        out_specs=(P(), kv_spec, kv_spec, scale_spec, scale_spec),
     )
     out, ck, cv, cks, cvs = program(
         stacked, cache.k, cache.v, cache.k_scale, cache.v_scale, x_chunks

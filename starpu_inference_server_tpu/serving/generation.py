@@ -128,15 +128,18 @@ class GenerationEngine:
         the collectives. Pallas fused kernels are single-device programs,
         so mesh mode keeps the XLA dequant+dot path.
 
-        A mesh whose ``pipe`` axis is >1 (and every other axis 1)
-        instead selects PIPELINED decoding (parallel/pipeline_decode.py):
-        the stacked layer weights and the cache's layer axis shard over
-        ``pipe``; prefill sequence-chunks and decode slot-microgroups
-        flow through the stages. ``params`` may be pre-stacked+placed
-        (parallel.pipeline.prepare_pipelined_params — the server reuses
-        the ModelEngine's placement) or a raw tree, which is prepared
-        here. ``pipe_microgroups`` sets the decode microgroup count
-        (0 = min(stages, num_slots))."""
+        A mesh whose ``pipe`` axis is >1 instead selects PIPELINED
+        decoding (parallel/pipeline_decode.py): the stacked layer
+        weights and the cache's layer axis shard over ``pipe``; prefill
+        sequence-chunks and decode slot-microgroups flow through the
+        stages. The ``model``/``expert`` axes compose INSIDE each stage
+        (manual TP/EP with block-shuffled fused layouts + the cache's
+        head axis sharded over ``model``); only ``data`` is excluded
+        (slots microgroup over ``pipe`` instead). ``params`` may be
+        pre-stacked+placed (parallel.pipeline.prepare_pipelined_params —
+        the server reuses the ModelEngine's placement) or a raw tree,
+        which is prepared here. ``pipe_microgroups`` sets the decode
+        microgroup count (0 = min(stages, num_slots))."""
         self.spec = spec
         self.mesh = mesh
         self._family = family
@@ -147,9 +150,12 @@ class GenerationEngine:
             from ..parallel.mesh import DATA_AXIS, PIPE_AXIS
 
             if mesh.shape.get(PIPE_AXIS, 1) > 1:
+                from ..parallel.mesh import MODEL_AXIS
                 from ..parallel.pipeline_decode import validate_pipe_mesh
+                from ..parallel.tp_layout import validate_decoder_tp
 
                 self._pipe_stages = validate_pipe_mesh(mesh)
+                validate_decoder_tp(spec, mesh.shape.get(MODEL_AXIS, 1))
                 if draft_spec is not None:
                     raise ValueError(
                         "speculative decoding and pipelined decoding do "
@@ -176,7 +182,11 @@ class GenerationEngine:
                         f"num_slots ({num_slots}) not divisible by decode "
                         f"microgroups ({self._microgroups})"
                     )
-                self._cache_sharding = NamedSharding(mesh, P(PIPE_AXIS))
+                # layer axis over pipe; head axis over model (matches the
+                # stage programs' _cache_specs so entry never reshards)
+                self._cache_sharding = NamedSharding(
+                    mesh, P(PIPE_AXIS, None, None, MODEL_AXIS)
+                )
                 self._slot_sharding = NamedSharding(mesh, P())
             else:
                 data_size = mesh.shape.get(DATA_AXIS, 1)
@@ -307,11 +317,21 @@ class GenerationEngine:
         if self._pipe_stages:
             if isinstance(params.get("layers"), dict):
                 return params  # already stacked+placed by the ModelEngine
+            from ..parallel.mesh import MODEL_AXIS
             from ..parallel.partition import partition_rules_for
             from ..parallel.pipeline import prepare_pipelined_params
 
+            shuffle = None
+            tp = self.mesh.shape.get(MODEL_AXIS, 1)
+            if tp > 1:
+                from ..parallel.tp_layout import shuffle_decoder_layer_for_tp
+
+                shuffle = lambda layer: shuffle_decoder_layer_for_tp(
+                    self.spec, layer, tp
+                )
             return prepare_pipelined_params(
-                params, self.mesh, partition_rules_for(self._family)
+                params, self.mesh, partition_rules_for(self._family),
+                layer_shuffle=shuffle,
             )
         if self.mesh is not None:
             from ..parallel.partition import partition_rules_for, shard_params

@@ -38,22 +38,37 @@ TINY = {"layers": 4, "hidden": 64, "q_heads": 4, "kv_heads": 2,
 
 
 def _stacked(spec, params, mesh, family="llama-tiny"):
+    from starpu_inference_server_tpu.parallel.tp_layout import (
+        shuffle_decoder_layer_for_tp,
+    )
+
+    tp = mesh.shape["model"]
+    shuffle = (
+        (lambda layer: shuffle_decoder_layer_for_tp(spec, layer, tp))
+        if tp > 1
+        else None
+    )
     return prepare_pipelined_params(
-        params, mesh, partition_rules_for(family)
+        params, mesh, partition_rules_for(family), layer_shuffle=shuffle
     )
 
 
-def test_validate_pipe_mesh_rejects_composed_axes():
-    mesh = make_device_mesh(MeshAxes(pipe=2, model=2))
-    with pytest.raises(ValueError, match="only the 'pipe' mesh axis"):
+def test_validate_pipe_mesh_rejects_data_axis():
+    mesh = make_device_mesh(MeshAxes(pipe=2, data=2))
+    with pytest.raises(ValueError, match="'data' mesh axis"):
         validate_pipe_mesh(mesh)
+    # model/expert compose inside the stages
+    assert validate_pipe_mesh(make_device_mesh(MeshAxes(pipe=2, model=2))) == 2
+    assert validate_pipe_mesh(make_device_mesh(MeshAxes(pipe=2, expert=2))) == 2
 
 
-@pytest.mark.parametrize("stages", [2, 4])
-def test_pipelined_prefill_matches_sequential_chunks(stages):
+@pytest.mark.parametrize(
+    "stages,tp", [(2, 1), (4, 1), (2, 2)], ids=["p2", "p4", "p2xm2"]
+)
+def test_pipelined_prefill_matches_sequential_chunks(stages, tp):
     spec = get_spec("llama-tiny", TINY)
     params = init_params(spec, np.random.default_rng(0))
-    mesh = make_device_mesh(MeshAxes(pipe=stages))
+    mesh = make_device_mesh(MeshAxes(pipe=stages, model=tp))
     bucket, length, slot = 16, 13, 1
     c = bucket // stages
     prompt = np.random.default_rng(1).integers(0, spec.vocab, (length,),
@@ -98,14 +113,24 @@ def test_pipelined_prefill_matches_sequential_chunks(stages):
     assert int(np.asarray(cache.lengths)[slot]) == length
 
 
-@pytest.mark.parametrize("family", ["llama-tiny", "moe-tiny"])
-def test_pipelined_decode_step_matches_decode_step(family):
+@pytest.mark.parametrize(
+    "family,tp,ep",
+    [
+        ("llama-tiny", 1, 1),
+        ("moe-tiny", 1, 1),
+        ("llama-tiny", 2, 1),   # TP inside pipeline stages
+        ("moe-tiny", 1, 2),     # EP inside pipeline stages
+        ("moe-tiny", 2, 2),     # TP x EP inside pipeline stages
+    ],
+    ids=["llama", "moe", "llama-tp2", "moe-ep2", "moe-tp2xep2"],
+)
+def test_pipelined_decode_step_matches_decode_step(family, tp, ep):
     opts = dict(TINY)
     if family == "moe-tiny":
         opts["num_experts"] = 4
     spec = get_spec(family, opts)
     params = init_params(spec, np.random.default_rng(2))
-    mesh = make_device_mesh(MeshAxes(pipe=2))
+    mesh = make_device_mesh(MeshAxes(pipe=2, model=tp, expert=ep))
     num_slots, max_len = 4, 32
 
     # identical starting state: plain prefill into 3 of 4 slots
@@ -167,8 +192,12 @@ def _run_engine(engine, prompts, max_new=6):
         engine.stop()
 
 
-@pytest.mark.parametrize("family", ["llama-tiny", "moe-tiny"])
-def test_generation_engine_pipelined_matches_chunked(family):
+@pytest.mark.parametrize(
+    "family,tp",
+    [("llama-tiny", 1), ("moe-tiny", 1), ("llama-tiny", 2)],
+    ids=["llama", "moe", "llama-tp2"],
+)
+def test_generation_engine_pipelined_matches_chunked(family, tp):
     """Greedy tokens through the pipelined engine equal the single-device
     engine with prefill_chunk at the pipeline's chunk size (identical
     numerics: same chunk boundaries, same INT8 round-trips)."""
@@ -194,7 +223,7 @@ def test_generation_engine_pipelined_matches_chunked(family):
     )
     want = _run_engine(ref, prompts)
 
-    mesh = make_device_mesh(MeshAxes(pipe=stages))
+    mesh = make_device_mesh(MeshAxes(pipe=stages, model=tp))
     pipe = GenerationEngine(
         spec, params, dtype=jnp.float32, num_slots=4, max_len=64,
         prefill_buckets=[bucket], steps_per_sync=2, mesh=mesh,
