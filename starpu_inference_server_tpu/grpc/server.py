@@ -229,17 +229,23 @@ class InferenceServer:
                 watch = StopWatch()
                 # prime each prefill bucket + the decode step (a prompt of
                 # exactly ``bucket`` tokens compiles that bucket)
+                # remote-compile backends take 30-60 s per executable
+                # and one warmup generation compiles several (prefill
+                # bucket + decode block); size the wait accordingly
+                warmup_timeout = 1800.0
                 for bucket in self.generation_engine.prefill_buckets:
                     if bucket + 2 <= self.generation_engine.max_len:
                         self.generation_engine.generate(
-                            np.ones((bucket,), np.int32), max_new_tokens=2
+                            np.ones((bucket,), np.int32), max_new_tokens=2,
+                            timeout=warmup_timeout,
                         )
                 chunk = self.generation_engine.prefill_chunk
                 if chunk and chunk + 3 <= self.generation_engine.max_len:
                     # a prompt one token past the chunk size forces the
                     # chunked-prefill executable to compile
                     self.generation_engine.generate(
-                        np.ones((chunk + 1,), np.int32), max_new_tokens=2
+                        np.ones((chunk + 1,), np.int32), max_new_tokens=2,
+                        timeout=warmup_timeout,
                     )
                 log.info("decoder warmup in %.1f ms", watch.elapsed_ms())
         else:
