@@ -656,18 +656,26 @@ def verify_step(
             v_scale=cache.v_scale.at[li, sl, write_pos].set(vscale),
         )
 
-        k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
-        v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
-        k_all = jnp.repeat(k_all, rep, axis=2)  # [S, T, Hq, D]
-        v_all = jnp.repeat(v_all, rep, axis=2)
-        logits = jnp.einsum(
-            "swhd,skhd->shwk", q, k_all, preferred_element_type=jnp.float32
-        ) * inv
-        logits = jnp.where(mask, logits, -1e9)
-        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        attn = jnp.einsum(
-            "shwk,skhd->swhd", probs, v_all, preferred_element_type=jnp.float32
-        ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
+        if _use_fused_decode_attention(spec, t_max):
+            from ..ops.decode_attention import window_decode_attention
+
+            attn = window_decode_attention(
+                q, cache.k[li], cache.v[li], cache.k_scale[li],
+                cache.v_scale[li], start, rep=rep,
+            ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
+        else:
+            k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
+            v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+            k_all = jnp.repeat(k_all, rep, axis=2)  # [S, T, Hq, D]
+            v_all = jnp.repeat(v_all, rep, axis=2)
+            logits = jnp.einsum(
+                "swhd,skhd->shwk", q, k_all, preferred_element_type=jnp.float32
+            ) * inv
+            logits = jnp.where(mask, logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            attn = jnp.einsum(
+                "shwk,skhd->swhd", probs, v_all, preferred_element_type=jnp.float32
+            ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
         x = x + nn.dense(layer["attn"]["o"], attn, dtype)
         h = rms_norm(layer["mlp_norm"], x)
         x = x + _mlp_block(spec, layer, h, dtype)

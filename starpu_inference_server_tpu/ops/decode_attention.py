@@ -148,3 +148,139 @@ def decode_attention(
         ),
         interpret=_INTERPRET,
     )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
+
+
+# ---------------------------------------------------------------------------
+# windowed decode: W queries per slot (speculative-decoding verify)
+# ---------------------------------------------------------------------------
+
+def _window_kernel(
+    len_ref,      # scalar-prefetch: int32 [S]
+    q_ref,        # [1, Hkv, W*rep, D]
+    k_ref,        # int8 [1, C, Hkv, D]
+    v_ref,        # int8 [1, C, Hkv, D]
+    ks_ref,       # f32 [1, C, Hkv]
+    vs_ref,       # f32 [1, C, Hkv]
+    o_ref,        # [1, Hkv, W*rep, D]
+    m_scr,        # f32 [Hkv, W*rep]
+    l_scr,        # f32 [Hkv, W*rep]
+    acc_scr,      # f32 [Hkv, W*rep, D]
+    *,
+    chunk: int,
+    n_chunks: int,
+    rep: int,
+):
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    r, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0].astype(jnp.float32)                           # [Hkv, R, D]
+    k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]    # [C, Hkv, D]
+    v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+    kt = jnp.transpose(k, (1, 0, 2))                           # [Hkv, C, D]
+    vt = jnp.transpose(v, (1, 0, 2))
+    logits = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(d)                                           # [Hkv, R, C]
+
+    # row r's query sits at position lengths[s] + r//rep and attends
+    # cache positions <= that (verify_step's mask)
+    w_of_row = jax.lax.broadcasted_iota(jnp.int32, (1, r, chunk), 1) // rep
+    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, r, chunk), 2)
+    logits = jnp.where(pos <= len_ref[s] + w_of_row, logits, -1e30)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[..., None])
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+    m_scr[:] = m_new
+    pv = jax.lax.dot_general(
+        p, vt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                          # [Hkv, R, D]
+    acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "chunk", "out_dtype"))
+def window_decode_attention(
+    q: jnp.ndarray,        # [S, W, Hq, D]: row w sits at lengths[s] + w
+    k_cache: jnp.ndarray,  # int8 [S, T, Hkv, D] (window rows pre-written)
+    v_cache: jnp.ndarray,  # int8 [S, T, Hkv, D]
+    k_scale: jnp.ndarray,  # f32 [S, T, Hkv]
+    v_scale: jnp.ndarray,  # f32 [S, T, Hkv]
+    lengths: jnp.ndarray,  # int32 [S]
+    rep: int,
+    chunk: int = 256,
+    out_dtype=None,
+):
+    """Fused attention for speculative-decoding verification
+    (models/decoder.verify_step): W query rows per slot, row w masked to
+    cache positions <= lengths[s]+w. Like :func:`decode_attention`, the
+    int8 cache is read once per chunk at int8 width and GQA repeats
+    never materialize (q enters KV-head-major, [Hkv, W*rep, D])."""
+    s, w, hq, d = q.shape
+    t = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    assert hq == hkv * rep, (q.shape, k_cache.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    chunk = min(chunk, t)
+    assert t % chunk == 0, (t, chunk)
+    n_chunks = t // chunk
+    r = w * rep
+
+    # [S, W, Hq, D] -> [S, Hkv, W*rep, D], rows ordered (w, rep)
+    qv = (
+        q.reshape(s, w, hkv, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, hkv, r, d)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
+            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _window_kernel, chunk=chunk, n_chunks=n_chunks, rep=rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hkv, r, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * w * t * d,
+            bytes_accessed=2 * s * t * hkv * d + s * w * hq * d * 4,
+            transcendentals=s * hq * w * t,
+        ),
+        interpret=_INTERPRET,
+    )(lengths.astype(jnp.int32), qv, k_cache, v_cache, k_scale, v_scale)
+    return (
+        out.reshape(s, hkv, w, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, w, hq, d)
+    )

@@ -91,3 +91,82 @@ def test_bf16_query():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), ref, rtol=3e-2, atol=3e-2
     )
+
+
+# -- windowed decode (speculative verify) -----------------------------------
+
+def test_window_decode_attention_matches_reference():
+    """W query rows per slot, row w masked to positions <= lengths+w."""
+    rng = np.random.default_rng(7)
+    s, w, t, hkv, rep, d = 2, 4, 128, 2, 2, 64
+    hq = hkv * rep
+    q = rng.standard_normal((s, w, hq, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    lengths = np.asarray([5, 100], np.int32)
+
+    got = np.asarray(da.window_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(ks),
+        jnp.asarray(vs), jnp.asarray(lengths), rep=rep,
+        out_dtype=jnp.float32,
+    ))
+
+    kd = np.repeat(k.astype(np.float32) * ks[..., None], rep, axis=2)
+    vd = np.repeat(v.astype(np.float32) * vs[..., None], rep, axis=2)
+    logits = np.einsum("swhd,skhd->shwk", q, kd) / np.sqrt(d)
+    key_pos = np.arange(t)
+    pos = lengths[:, None] + np.arange(w)[None, :]              # [S, W]
+    mask = key_pos[None, None, None, :] <= pos[:, None, :, None]
+    logits = np.where(mask, logits, -1e30)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.einsum("shwk,skhd->swhd", probs, vd)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_verify_step_matches_with_kernel_enabled():
+    """models/decoder.verify_step: identical logits with the fused
+    window kernel vs the jnp path."""
+    import jax
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_cache,
+        init_params,
+        prefill,
+        verify_step,
+    )
+    from starpu_inference_server_tpu.ops import nn
+
+    spec = get_spec("llama-tiny", {
+        "layers": 2, "hidden": 128, "q_heads": 2, "kv_heads": 1,
+        "intermediate": 96, "vocab": 64,
+    })
+    params = init_params(spec, np.random.default_rng(8))
+    rng = np.random.default_rng(9)
+
+    def run():
+        cache = init_cache(spec, 2, 128)
+        for slot, length in ((0, 6), (1, 3)):
+            prompt = np.zeros((8,), np.int32)
+            prompt[:length] = rng.integers(0, 64, (length,))
+            cache, _ = prefill(
+                spec, params, cache, jnp.asarray(prompt), jnp.int32(length),
+                jnp.int32(slot), jnp.float32,
+            )
+        ids = jnp.asarray(rng.integers(0, 64, (2, 4)), jnp.int32)
+        active = jnp.asarray([True, True])
+        _, logits = verify_step(spec, params, cache, ids, active, jnp.float32)
+        return np.asarray(logits)
+
+    assert not nn.use_pallas()
+    want = run()
+    rng = np.random.default_rng(9)  # same prompts/ids both runs
+    nn.set_use_pallas(True)
+    try:
+        got = run()
+    finally:
+        nn.set_use_pallas(False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
