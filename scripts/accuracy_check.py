@@ -40,7 +40,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--family", required=True)
     parser.add_argument("--params", default="random")
-    parser.add_argument("--quant", default="int8", choices=["int8", "int4"])
+    parser.add_argument("--quant", default="int8", choices=["int8", "int4", "w8a8"])
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--min-top1-agreement", type=float, default=0.995)
@@ -67,7 +67,16 @@ def main() -> int:
     inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
 
     ref_out = fp32.apply(inputs)
-    q_out = quant.apply(inputs)
+    if args.quant == "w8a8":
+        # process-wide flag, mirroring ModelEngine's W8A8 wiring
+        from starpu_inference_server_tpu.ops import nn as _nn
+
+        _nn.set_w8a8(True)
+    try:
+        q_out = quant.apply(inputs)
+    finally:
+        if args.quant == "w8a8":
+            _nn.set_w8a8(False)
 
     report = {"family": args.family, "quant": args.quant, "batch": args.batch}
     ok = True

@@ -129,19 +129,45 @@ def conv2d(
     groups: int = 1,
     dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """NHWC conv. ``p`` = {'w': [kh,kw,in/groups,out], 'b'?}."""
-    w = resolve_weight(p["w"], dtype)
+    """NHWC conv. ``p`` = {'w': [kh,kw,in/groups,out], 'b'?}.
+
+    Under W8A8 with an INT8 weight, activations quantize dynamically
+    with ONE per-tensor scale (per-position scales cannot factor out of
+    the spatial window sum, unlike dense's per-row scales) and the conv
+    runs s8 x s8 -> s32 on the int8 MXU path; the result rescales by
+    (tensor scale x per-output-channel weight scale). The classic
+    ResNet INT8 recipe (per-tensor activations, per-channel weights).
+    """
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype),
-        w,
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )
+    wnode = p["w"]
+    if is_quantized_leaf(wnode) and _W8A8:
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf))
+        sx = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q,
+            wnode["w_q"],
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        # weight scale is per output channel [1,1,1,O] -> broadcasts
+        y = y.astype(jnp.float32) * sx * wnode["scale"].reshape(1, 1, 1, -1)
+    else:
+        w = resolve_weight(wnode, dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            w,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(dtype)

@@ -152,3 +152,33 @@ def test_model_engine_sets_w8a8_flag():
     c = cfg("int8")
     ModelEngine(c, build_model(c.model, seed=0))
     assert not nn.w8a8()
+
+
+def test_w8a8_conv2d_close_to_dense():
+    """Per-tensor activation quant + int8 conv tracks the f32 conv."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.ops import nn
+    from starpu_inference_server_tpu.ops.quant import quantize_per_channel
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 16, 32)) * 0.1).astype(np.float32)
+    w_q, scale = quantize_per_channel(jnp.asarray(w), bits=8, axis=-1)
+    p_dense = {"w": jnp.asarray(w)}
+    p_quant = {"w": {"w_q": w_q, "scale": scale, "bits": 8}}
+
+    want = np.asarray(nn.conv2d(p_dense, jnp.asarray(x), padding=1,
+                                dtype=jnp.float32))
+    nn.set_w8a8(True)
+    try:
+        got = np.asarray(nn.conv2d(p_quant, jnp.asarray(x), padding=1,
+                                   dtype=jnp.float32))
+    finally:
+        nn.set_w8a8(False)
+    # int8 weights + per-tensor int8 activations: ~1% relative error
+    rel = np.abs(got - want) / (np.abs(want) + 1e-3)
+    assert float(np.median(rel)) < 0.02, float(np.median(rel))
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.999, corr
