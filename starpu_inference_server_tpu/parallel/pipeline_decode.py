@@ -301,6 +301,174 @@ def pipelined_decode_step(
 
 
 # ---------------------------------------------------------------------------
+# verify: advance every active slot W tokens (speculative decoding),
+# slots microgrouped over the pipe axis
+# ---------------------------------------------------------------------------
+
+def pipelined_verify_step(
+    spec,
+    params,
+    cache,
+    ids: jnp.ndarray,      # int32 [S, W]: row w sits at lengths+w
+    active: jnp.ndarray,   # bool [S]
+    mesh: Mesh,
+    dtype=jnp.bfloat16,
+    num_microgroups: int = 0,
+):
+    """Pipe-sharded equivalent of models/decoder.verify_step: the target
+    model scores W draft tokens per slot in one pass, slot-microgroups
+    flowing through the stages exactly like pipelined_decode_step. KV
+    for all W positions is written; ``lengths`` is NOT advanced (the
+    caller commits the accepted prefix). Composes TP/EP inside stages.
+    Returns ``(cache', logits [S, W, vocab])``."""
+    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
+    from ..ops import nn
+    from .partition import _DECODER_RULES
+    from .tp_layout import validate_decoder_tp
+
+    stages = validate_pipe_mesh(mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    validate_decoder_tp(spec, tp)
+    s, w = ids.shape
+    m = num_microgroups or min(stages, s)
+    if s % m != 0:
+        raise ValueError(
+            f"num_slots ({s}) not divisible by verify microgroups ({m})"
+        )
+    g = s // m
+    t_max = cache.max_len
+    lengths = cache.lengths
+    inv = 1.0 / math.sqrt(spec.head_dim)
+    _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
+    rep = qh // kvh
+
+    x = nn.embedding(params["embed"], ids, dtype)       # [S, W, D]
+    x_mb = x.reshape(m, g, w, x.shape[-1])
+
+    param_specs = _stacked_in_specs(params["layers"], _DECODER_RULES)
+    stacked, reattach = _split_static_bits(params["layers"])
+    kv_spec, scale_spec = _cache_specs(mesh)
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    win = jnp.arange(w, dtype=jnp.int32)
+
+    def stage_program(layers_local, ck, cv, cks, cvs, x_all):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        total = m + stages - 1
+        perm = [(i, (i + 1) % stages) for i in range(stages)]
+
+        def make_body(rows, write_pos, pos):
+            # query row (slot, w) attends cache positions <= pos[slot, w]
+            mask = (
+                key_pos[None, None, None, :] <= pos[:, None, :, None]
+            )  # [G, 1, W, T]
+
+            def body(li, layer, xg, caches):
+                ck, cv, cks, cvs = caches
+                h = rms_norm(layer["attn_norm"], xg)
+                qf, kf, vf = tp_project_qkv(spec, tp, layer, h, dtype)
+                q = qf.reshape(g, w, qh, spec.head_dim)
+                k = kf.reshape(g, w, kvh, spec.head_dim)
+                v = vf.reshape(g, w, kvh, spec.head_dim)
+                q = rope(q, pos)
+                k = rope(k, pos)
+                kq, kscale = _quantize_kv(k)   # [G, W, H_l, D], [G, W, H_l]
+                vq, vscale = _quantize_kv(v)
+                rr = rows[:, None]
+                ck = ck.at[li, rr, write_pos].set(kq)
+                cv = cv.at[li, rr, write_pos].set(vq)
+                cks = cks.at[li, rr, write_pos].set(kscale)
+                cvs = cvs.at[li, rr, write_pos].set(vscale)
+                off = rows[0]
+                hd = spec.head_dim
+                k_rows = jax.lax.dynamic_slice(
+                    ck, (li, off, 0, 0, 0), (1, g, t_max, kvh, hd)
+                )[0]
+                v_rows = jax.lax.dynamic_slice(
+                    cv, (li, off, 0, 0, 0), (1, g, t_max, kvh, hd)
+                )[0]
+                ks_rows = jax.lax.dynamic_slice(
+                    cks, (li, off, 0, 0), (1, g, t_max, kvh)
+                )[0]
+                vs_rows = jax.lax.dynamic_slice(
+                    cvs, (li, off, 0, 0), (1, g, t_max, kvh)
+                )[0]
+                k_all = jnp.repeat(
+                    _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
+                )
+                v_all = jnp.repeat(
+                    _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
+                )
+                logits = jnp.einsum(
+                    "swhd,skhd->shwk", q, k_all,
+                    preferred_element_type=jnp.float32,
+                ) * inv
+                logits = jnp.where(mask, logits, -1e9)
+                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                attn = jnp.einsum(
+                    "shwk,skhd->swhd", probs, v_all,
+                    preferred_element_type=jnp.float32,
+                ).reshape(g, w, qh * spec.head_dim).astype(dtype)
+                xg = xg + tp_attn_out(layer, attn, dtype)
+                h = rms_norm(layer["mlp_norm"], xg)
+                xg = xg + tp_mlp_block(spec, layer, h, dtype)
+                return xg, (ck, cv, cks, cvs)
+
+            return body
+
+        def tick(t, carry):
+            buf, outputs, caches = carry
+            mb_idx = jnp.clip(t - stage, 0, m - 1)
+            valid = (t >= stage) & (t - stage < m)
+            off = mb_idx * g
+            rows = off + jnp.arange(g)
+            pos = jnp.take(lengths, rows)[:, None] + win[None, :]  # [G, W]
+            act = (jnp.take(active, rows) & valid)[:, None]
+            write_pos = jnp.where(act, pos, t_max - 1)
+            x_in = jnp.where(stage == 0, x_all[mb_idx], buf)
+            run = _layer_scan(
+                spec, layers_local, reattach, make_body(rows, write_pos, pos)
+            )
+            y, caches = run(x_in, caches)
+            out_idx = jnp.clip(t - (stages - 1), 0, m - 1)
+            emit = (stage == stages - 1) & (t >= stages - 1)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs,
+                jnp.where(emit, y, outputs[out_idx]),
+                out_idx,
+                axis=0,
+            )
+            buf = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return buf, outputs, caches
+
+        buf0 = jnp.zeros_like(x_all[0])
+        out0 = jnp.zeros_like(x_all)
+        _, outputs, caches = jax.lax.fori_loop(
+            0, total, tick, (buf0, out0, (ck, cv, cks, cvs))
+        )
+        outputs = jnp.where(stage == stages - 1, outputs, 0)
+        return (jax.lax.psum(outputs, PIPE_AXIS),) + caches
+
+    program = _shard_map(
+        stage_program,
+        mesh,
+        in_specs=(param_specs, kv_spec, kv_spec, scale_spec, scale_spec, P()),
+        out_specs=(P(), kv_spec, kv_spec, scale_spec, scale_spec),
+    )
+    out, ck, cv, cks, cvs = program(
+        stacked, cache.k, cache.v, cache.k_scale, cache.v_scale, x_mb
+    )
+    x = out.reshape(s * w, -1)
+    from ..models.decoder import rms_norm as _rms
+    from ..ops import nn as _nn
+
+    x = _rms(params["final_norm"], x)
+    logits = _nn.dense(params["lm_head"], x, dtype).astype(jnp.float32)
+    return cache._replace(
+        k=ck, v=cv, k_scale=cks, v_scale=cvs
+    ), logits.reshape(s, w, spec.vocab)
+
+
+# ---------------------------------------------------------------------------
 # prefill: write one prompt into one slot, sequence-chunk pipelined
 # ---------------------------------------------------------------------------
 

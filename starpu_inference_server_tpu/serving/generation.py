@@ -156,12 +156,6 @@ class GenerationEngine:
 
                 self._pipe_stages = validate_pipe_mesh(mesh)
                 validate_decoder_tp(spec, mesh.shape.get(MODEL_AXIS, 1))
-                if draft_spec is not None:
-                    raise ValueError(
-                        "speculative decoding and pipelined decoding do "
-                        "not compose yet: drop draft_variant or the pipe "
-                        "mesh axis"
-                    )
                 if prefill_chunk:
                     raise ValueError(
                         "prefill_chunk and pipelined decoding do not "
@@ -249,8 +243,8 @@ class GenerationEngine:
                     "speculative decoding and chunked prefill do not "
                     "compose yet: set prefill_chunk=0"
                 )
-            self._draft_params = self._place_params(draft_params)
-            self._draft_cache: KVCache = self._place_cache(
+            self._draft_params = self._place_draft_params(draft_params)
+            self._draft_cache: KVCache = self._place_draft_cache(
                 init_cache(draft_spec, num_slots, max_len)
             )
             self._draft_prefill = jax.jit(
@@ -266,6 +260,7 @@ class GenerationEngine:
             from ..parallel.pipeline_decode import (
                 pipelined_decode_step,
                 pipelined_prefill,
+                pipelined_verify_step,
             )
 
             self._prefill = jax.jit(
@@ -285,11 +280,19 @@ class GenerationEngine:
                 dtype=self.dtype,
                 num_microgroups=self._microgroups,
             )
+            self._verify_fn = partial(
+                pipelined_verify_step,
+                spec,
+                mesh=self.mesh,
+                dtype=self.dtype,
+                num_microgroups=self._microgroups,
+            )
         else:
             self._prefill = jax.jit(
                 partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
             )
             self._step_fn = partial(decode_step, spec, dtype=self.dtype)
+            self._verify_fn = partial(verify_step, spec, dtype=self.dtype)
         self._decode = jax.jit(
             self._decode_and_sample, donate_argnums=(1,)
         )
@@ -358,6 +361,29 @@ class GenerationEngine:
             lengths=jax.device_put(cache0.lengths, self._slot_sharding),
         )
 
+    def _place_draft_params(self, params):
+        """The draft model is small: under a PIPE mesh it replicates
+        whole (its few layers are not worth pipelining; its forwards run
+        as ordinary GSPMD programs on every device). Other modes share
+        the target placement."""
+        if self._pipe_stages:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            return jax.tree.map(
+                lambda a: jax.device_put(a, rep) if hasattr(a, "ndim") else a,
+                params,
+            )
+        return self._place_params(params)
+
+    def _place_draft_cache(self, cache0: KVCache) -> KVCache:
+        if self._pipe_stages:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            return jax.tree.map(lambda a: jax.device_put(a, rep), cache0)
+        return self._place_cache(cache0)
+
     # -- device fns --------------------------------------------------------
 
     def _speculative_block(self, tparams, dparams, tcache, dcache, ids,
@@ -396,8 +422,8 @@ class GenerationEngine:
             drafts = drafts[:k].T                                 # [S, K]
             window = jnp.concatenate([cur[:, None], drafts], 1)   # [S, K+1]
             start = tcache.lengths
-            tcache, logits = verify_step(
-                self.spec, tparams, tcache, window, active, self.dtype
+            tcache, logits = self._verify_fn(
+                tparams, tcache, window, active
             )
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # accept the longest prefix of drafts matching the target's

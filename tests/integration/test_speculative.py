@@ -210,3 +210,43 @@ def test_speculation_rejects_chunked_prefill(target):
             spec, params, dtype=jnp.float32, max_len=64, prefill_chunk=16,
             draft_spec=spec, draft_params=params,
         )
+
+
+# -- speculative x pipelined composition -------------------------------------
+
+def _drain(eng, prompts, max_new=10):
+    try:
+        reqs = [GenerationRequest(prompt_ids=np.asarray(p, np.int32),
+                                  max_new_tokens=max_new) for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        return [r.result(timeout=120.0) for r in reqs]
+    finally:
+        eng.stop()
+
+
+@pytest.mark.parametrize("tp", [1, 2], ids=["pipe2", "pipe2xtp2"])
+def test_speculative_pipelined_matches_plain(target, tp):
+    """Speculative decoding under a pipe (x model) mesh produces the
+    plain single-device engine's greedy tokens exactly (pipelined
+    verify + replicated draft; lossless-greedy contract preserved)."""
+    from starpu_inference_server_tpu.parallel.mesh import (
+        MeshAxes,
+        make_device_mesh,
+    )
+
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 128, (n,), np.int32) for n in (5, 7, 3, 8)]
+
+    plain = _make_engine(target, steps_per_sync=2)
+    want = _drain(plain, prompts)
+
+    mesh = make_device_mesh(MeshAxes(pipe=2, model=tp))
+    spec_eng = _make_engine(
+        target, draft_params_seed=12, steps_per_sync=2, mesh=mesh,
+        speculate_k=3,
+    )
+    assert spec_eng._pipe_stages == 2
+    got = _drain(spec_eng, prompts)
+    assert got == want
+    assert spec_eng.drafted_tokens > 0
