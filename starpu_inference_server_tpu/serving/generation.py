@@ -238,17 +238,18 @@ class GenerationEngine:
                     f"draft vocab ({draft_spec.vocab}) must match target "
                     f"vocab ({spec.vocab})"
                 )
-            if self.prefill_chunk:
-                raise ValueError(
-                    "speculative decoding and chunked prefill do not "
-                    "compose yet: set prefill_chunk=0"
-                )
             self._draft_params = self._place_draft_params(draft_params)
             self._draft_cache: KVCache = self._place_draft_cache(
                 init_cache(draft_spec, num_slots, max_len)
             )
             self._draft_prefill = jax.jit(
                 partial(prefill, draft_spec, dtype=self.dtype),
+                donate_argnums=(1,),
+            )
+            # chunked prefill composes: each chunk advances BOTH caches
+            # (the draft must hold the prompt before it can draft)
+            self._draft_prefill_chunk = jax.jit(
+                partial(prefill_chunk_step, draft_spec, dtype=self.dtype),
                 donate_argnums=(1,),
             )
             self._spec_decode = jax.jit(
@@ -650,6 +651,15 @@ class GenerationEngine:
             jnp.int32(valid),
             jnp.int32(pf.slot),
         )
+        if self._draft_params is not None:
+            self._draft_cache, _ = self._draft_prefill_chunk(
+                self._draft_params,
+                self._draft_cache,
+                jnp.asarray(padded),
+                jnp.int32(pf.offset),
+                jnp.int32(valid),
+                jnp.int32(pf.slot),
+            )
         pf.offset += valid
         if pf.offset >= len(pf.prompt):
             self._prefilling = None

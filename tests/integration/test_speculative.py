@@ -203,13 +203,15 @@ def test_draft_requires_matching_vocab(target):
         )
 
 
-def test_speculation_rejects_chunked_prefill(target):
+def test_speculation_composes_with_chunked_prefill(target):
+    """The former guard is gone: the engine constructs with both
+    speculation and chunked prefill (each chunk advances both caches)."""
     spec, params = target
-    with pytest.raises(ValueError):
-        GenerationEngine(
-            spec, params, dtype=jnp.float32, max_len=64, prefill_chunk=16,
-            draft_spec=spec, draft_params=params,
-        )
+    eng = GenerationEngine(
+        spec, params, dtype=jnp.float32, max_len=64, prefill_chunk=16,
+        draft_spec=spec, draft_params=params,
+    )
+    assert eng._draft_prefill_chunk is not None
 
 
 # -- speculative x pipelined composition -------------------------------------
@@ -247,6 +249,26 @@ def test_speculative_pipelined_matches_plain(target, tp):
         speculate_k=3,
     )
     assert spec_eng._pipe_stages == 2
+    got = _drain(spec_eng, prompts)
+    assert got == want
+    assert spec_eng.drafted_tokens > 0
+
+
+def test_speculative_chunked_prefill_matches_plain(target):
+    """Speculative decoding with chunked prefill: long prompts prefill
+    chunk-by-chunk into BOTH caches; greedy output equals the plain
+    chunked engine's exactly."""
+    rng = np.random.default_rng(13)
+    # longer than the largest bucket (16) -> forces the chunked path
+    prompts = [rng.integers(0, 128, (n,), np.int32) for n in (20, 25, 18)]
+
+    plain = _make_engine(target, steps_per_sync=2, prefill_chunk=8)
+    want = _drain(plain, prompts)
+
+    spec_eng = _make_engine(
+        target, draft_params_seed=12, steps_per_sync=2, prefill_chunk=8,
+        speculate_k=3,
+    )
     got = _drain(spec_eng, prompts)
     assert got == want
     assert spec_eng.drafted_tokens > 0
