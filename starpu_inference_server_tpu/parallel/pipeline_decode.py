@@ -156,7 +156,13 @@ def pipelined_decode_step(
     stage, with block-shuffled fused layouts — tp_layout.py). Returns
     ``(cache', logits [S, vocab])``.
     """
-    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
+    from ..models.decoder import (
+        _dequantize_kv,
+        _quantize_kv,
+        _use_fused_decode_attention,
+        rms_norm,
+        rope,
+    )
     from ..ops import nn
     from .partition import _DECODER_RULES
     from .tp_layout import validate_decoder_tp
@@ -176,6 +182,9 @@ def pipelined_decode_step(
     inv = 1.0 / math.sqrt(spec.head_dim)
     _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
     rep = qh // kvh
+    # shard_map bodies are per-device programs, so the fused Pallas
+    # decode kernel composes (same gate as single-chip decode_step)
+    fused = _use_fused_decode_attention(spec, t_max)
 
     x = nn.embedding(params["embed"], ids[:, None], dtype)  # [S, 1, D]
     x_mb = x.reshape(m, g, 1, x.shape[-1])
@@ -222,22 +231,30 @@ def pipelined_decode_step(
                 vs_rows = jax.lax.dynamic_slice(
                     cvs, (li, off, 0, 0), (1, g, t_max, kvh)
                 )[0]
-                k_all = jnp.repeat(
-                    _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
-                )
-                v_all = jnp.repeat(
-                    _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
-                )
-                logits = jnp.einsum(
-                    "sqhd,skhd->shqk", q, k_all,
-                    preferred_element_type=jnp.float32,
-                ) * inv
-                logits = jnp.where(mask, logits, -1e9)
-                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-                attn = jnp.einsum(
-                    "shqk,skhd->sqhd", probs, v_all,
-                    preferred_element_type=jnp.float32,
-                ).reshape(g, 1, qh * spec.head_dim).astype(dtype)
+                if fused:
+                    from ..ops.decode_attention import decode_attention
+
+                    attn = decode_attention(
+                        q[:, 0], k_rows, v_rows, ks_rows, vs_rows, pos,
+                        rep=rep,
+                    ).reshape(g, 1, qh * spec.head_dim).astype(dtype)
+                else:
+                    k_all = jnp.repeat(
+                        _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
+                    )
+                    v_all = jnp.repeat(
+                        _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
+                    )
+                    logits = jnp.einsum(
+                        "sqhd,skhd->shqk", q, k_all,
+                        preferred_element_type=jnp.float32,
+                    ) * inv
+                    logits = jnp.where(mask, logits, -1e9)
+                    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                    attn = jnp.einsum(
+                        "shqk,skhd->sqhd", probs, v_all,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(g, 1, qh * spec.head_dim).astype(dtype)
                 xg = xg + tp_attn_out(layer, attn, dtype)
                 h = rms_norm(layer["mlp_norm"], xg)
                 xg = xg + tp_mlp_block(spec, layer, h, dtype)
@@ -321,7 +338,13 @@ def pipelined_verify_step(
     for all W positions is written; ``lengths`` is NOT advanced (the
     caller commits the accepted prefix). Composes TP/EP inside stages.
     Returns ``(cache', logits [S, W, vocab])``."""
-    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
+    from ..models.decoder import (
+        _dequantize_kv,
+        _quantize_kv,
+        _use_fused_decode_attention,
+        rms_norm,
+        rope,
+    )
     from ..ops import nn
     from .partition import _DECODER_RULES
     from .tp_layout import validate_decoder_tp
@@ -341,6 +364,8 @@ def pipelined_verify_step(
     inv = 1.0 / math.sqrt(spec.head_dim)
     _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
     rep = qh // kvh
+
+    fused = _use_fused_decode_attention(spec, t_max)
 
     x = nn.embedding(params["embed"], ids, dtype)       # [S, W, D]
     x_mb = x.reshape(m, g, w, x.shape[-1])
@@ -392,22 +417,32 @@ def pipelined_verify_step(
                 vs_rows = jax.lax.dynamic_slice(
                     cvs, (li, off, 0, 0), (1, g, t_max, kvh)
                 )[0]
-                k_all = jnp.repeat(
-                    _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
-                )
-                v_all = jnp.repeat(
-                    _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
-                )
-                logits = jnp.einsum(
-                    "swhd,skhd->shwk", q, k_all,
-                    preferred_element_type=jnp.float32,
-                ) * inv
-                logits = jnp.where(mask, logits, -1e9)
-                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-                attn = jnp.einsum(
-                    "shwk,skhd->swhd", probs, v_all,
-                    preferred_element_type=jnp.float32,
-                ).reshape(g, w, qh * spec.head_dim).astype(dtype)
+                if fused:
+                    from ..ops.decode_attention import (
+                        window_decode_attention,
+                    )
+
+                    attn = window_decode_attention(
+                        q, k_rows, v_rows, ks_rows, vs_rows, pos[:, 0],
+                        rep=rep,
+                    ).reshape(g, w, qh * spec.head_dim).astype(dtype)
+                else:
+                    k_all = jnp.repeat(
+                        _dequantize_kv(k_rows, ks_rows, dtype), rep, axis=2
+                    )
+                    v_all = jnp.repeat(
+                        _dequantize_kv(v_rows, vs_rows, dtype), rep, axis=2
+                    )
+                    logits = jnp.einsum(
+                        "swhd,skhd->shwk", q, k_all,
+                        preferred_element_type=jnp.float32,
+                    ) * inv
+                    logits = jnp.where(mask, logits, -1e9)
+                    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                    attn = jnp.einsum(
+                        "shwk,skhd->swhd", probs, v_all,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(g, w, qh * spec.head_dim).astype(dtype)
                 xg = xg + tp_attn_out(layer, attn, dtype)
                 h = rms_norm(layer["mlp_norm"], xg)
                 xg = xg + tp_mlp_block(spec, layer, h, dtype)
@@ -491,7 +526,13 @@ def pipelined_prefill(
     :func:`pipelined_decode_step`. Returns ``(cache', last_logits
     [vocab])``.
     """
-    from ..models.decoder import _dequantize_kv, _quantize_kv, rms_norm, rope
+    from ..models.decoder import (
+        _dequantize_kv,
+        _quantize_kv,
+        _use_fused_prefill_attention,
+        rms_norm,
+        rope,
+    )
     from ..ops import nn
     from .partition import _DECODER_RULES
     from .tp_layout import validate_decoder_tp
@@ -512,6 +553,9 @@ def pipelined_prefill(
     _, _, qh, kvh = local_qkv_slices(spec, tp)  # LOCAL head counts
     rep = qh // kvh
     hkv, hd = kvh, spec.head_dim
+    # per-stage chunked-prefill attention routes through the fused
+    # Pallas kernel where it wins (cache row >= 512, see the gate)
+    fused = _use_fused_prefill_attention(spec, t_max, min_seq=512)
 
     x = nn.embedding(params["embed"], ids[None, :], dtype)  # [1, P, D]
     x_chunks = x.reshape(n_chunks, 1, c, x.shape[-1])
@@ -558,51 +602,59 @@ def pipelined_prefill(
                 cvs = rmw(cvs, vscale, 1)
 
                 # past attention over the INT8 cache row (pos < start)
-                row_k = _dequantize_kv(
-                    jax.lax.dynamic_slice(
-                        ck, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
-                    )[0, 0],
-                    jax.lax.dynamic_slice(
-                        cks, (li, slot, 0, 0), (1, 1, t_max, hkv)
-                    )[0, 0],
-                    dtype,
-                )
-                row_v = _dequantize_kv(
-                    jax.lax.dynamic_slice(
-                        cv, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
-                    )[0, 0],
-                    jax.lax.dynamic_slice(
-                        cvs, (li, slot, 0, 0), (1, 1, t_max, hkv)
-                    )[0, 0],
-                    dtype,
-                )
-                row_k = jnp.repeat(row_k, rep, axis=1)[None]
-                row_v = jnp.repeat(row_v, rep, axis=1)[None]
-                s_past = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q, row_k,
-                    preferred_element_type=jnp.float32,
-                ) * inv
-                s_past = jnp.where(past_mask, s_past, -1e9)
-                kc = jnp.repeat(k, rep, axis=2)
-                vc = jnp.repeat(v, rep, axis=2)
-                s_cur = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q, kc,
-                    preferred_element_type=jnp.float32,
-                ) * inv
-                s_cur = jnp.where(cur_mask, s_cur, -1e9)
-                probs = jax.nn.softmax(
-                    jnp.concatenate([s_past, s_cur], axis=-1), axis=-1
-                ).astype(dtype)
-                p_past, p_cur = probs[..., :t_max], probs[..., t_max:]
-                attn = jnp.einsum(
-                    "bhqk,bkhd->bqhd", p_past, row_v,
-                    preferred_element_type=jnp.float32,
-                )
-                attn = attn + jnp.einsum(
-                    "bhqk,bkhd->bqhd", p_cur, vc,
-                    preferred_element_type=jnp.float32,
-                )
-                attn = attn.reshape(1, c, qh * hd).astype(dtype)
+                raw_k = jax.lax.dynamic_slice(
+                    ck, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
+                )[0, 0]
+                raw_v = jax.lax.dynamic_slice(
+                    cv, (li, slot, 0, 0, 0), (1, 1, t_max, hkv, hd)
+                )[0, 0]
+                raw_ks = jax.lax.dynamic_slice(
+                    cks, (li, slot, 0, 0), (1, 1, t_max, hkv)
+                )[0, 0]
+                raw_vs = jax.lax.dynamic_slice(
+                    cvs, (li, slot, 0, 0), (1, 1, t_max, hkv)
+                )[0, 0]
+                if fused:
+                    from ..ops.prefill_attention import (
+                        chunk_prefill_attention,
+                    )
+
+                    attn = chunk_prefill_attention(
+                        q[0], raw_k, raw_v, raw_ks, raw_vs, k[0], v[0],
+                        start, rep=rep, out_dtype=dtype,
+                    ).reshape(1, c, qh * hd)
+                else:
+                    row_k = jnp.repeat(
+                        _dequantize_kv(raw_k, raw_ks, dtype), rep, axis=1
+                    )[None]
+                    row_v = jnp.repeat(
+                        _dequantize_kv(raw_v, raw_vs, dtype), rep, axis=1
+                    )[None]
+                    s_past = jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, row_k,
+                        preferred_element_type=jnp.float32,
+                    ) * inv
+                    s_past = jnp.where(past_mask, s_past, -1e9)
+                    kc = jnp.repeat(k, rep, axis=2)
+                    vc = jnp.repeat(v, rep, axis=2)
+                    s_cur = jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, kc,
+                        preferred_element_type=jnp.float32,
+                    ) * inv
+                    s_cur = jnp.where(cur_mask, s_cur, -1e9)
+                    probs = jax.nn.softmax(
+                        jnp.concatenate([s_past, s_cur], axis=-1), axis=-1
+                    ).astype(dtype)
+                    p_past, p_cur = probs[..., :t_max], probs[..., t_max:]
+                    attn = jnp.einsum(
+                        "bhqk,bkhd->bqhd", p_past, row_v,
+                        preferred_element_type=jnp.float32,
+                    )
+                    attn = attn + jnp.einsum(
+                        "bhqk,bkhd->bqhd", p_cur, vc,
+                        preferred_element_type=jnp.float32,
+                    )
+                    attn = attn.reshape(1, c, qh * hd).astype(dtype)
                 xc = xc + tp_attn_out(layer, attn, dtype)
                 h = rms_norm(layer["mlp_norm"], xc)
                 xc = xc + tp_mlp_block(spec, layer, h, dtype)

@@ -251,3 +251,65 @@ def test_pipelined_engine_guards():
             spec, params, mesh=mesh, prefill_buckets=[8], num_slots=5,
             pipe_microgroups=2,
         )
+
+
+def test_pipelined_bodies_match_with_fused_kernels():
+    """The stage bodies route attention through the Pallas kernels
+    (interpret mode here) and must reproduce the jnp-path results:
+    decode logits exactly-close, prefill logits and written rows."""
+    from starpu_inference_server_tpu.models.decoder import (
+        _use_fused_decode_attention,
+        _use_fused_prefill_attention,
+    )
+    from starpu_inference_server_tpu.ops import decode_attention as da
+    from starpu_inference_server_tpu.ops import nn
+    from starpu_inference_server_tpu.ops import prefill_attention as pa
+    from starpu_inference_server_tpu.parallel.pipeline_decode import (
+        pipelined_verify_step,
+    )
+
+    # head_dim 64 and t_max 512 clear both kernel gates
+    opts = {"layers": 2, "hidden": 256, "q_heads": 4, "kv_heads": 2,
+            "intermediate": 96, "vocab": 64}
+    spec = get_spec("llama-tiny", opts)
+    params = init_params(spec, np.random.default_rng(20))
+    mesh = make_device_mesh(MeshAxes(pipe=2))
+    stacked = _stacked(spec, params, mesh)
+    rng = np.random.default_rng(21)
+    prompt = np.zeros((16,), np.int32)
+    prompt[:11] = rng.integers(0, 64, (11,))
+    ids = rng.integers(0, 64, (4,), np.int32)
+    win = rng.integers(0, 64, (4, 3), np.int32)
+    active = np.asarray([True, True, False, True])
+
+    def run():
+        cache = init_cache(spec, 4, 512)
+        cache, pf_logits = pipelined_prefill(
+            spec, stacked, cache, jnp.asarray(prompt), jnp.int32(11),
+            jnp.int32(0), mesh, jnp.float32,
+        )
+        dcache, d_logits = pipelined_decode_step(
+            spec, stacked, jax.tree.map(jnp.copy, cache), jnp.asarray(ids),
+            jnp.asarray(active), mesh, jnp.float32,
+        )
+        vcache, v_logits = pipelined_verify_step(
+            spec, stacked, cache, jnp.asarray(win), jnp.asarray(active),
+            mesh, jnp.float32,
+        )
+        return (np.asarray(pf_logits), np.asarray(d_logits),
+                np.asarray(v_logits))
+
+    want = run()
+    nn.set_use_pallas(True)
+    da.set_interpret(True)
+    pa.set_interpret(True)
+    try:
+        assert _use_fused_decode_attention(spec, 512)
+        assert _use_fused_prefill_attention(spec, 512, min_seq=512)
+        got = run()
+    finally:
+        nn.set_use_pallas(False)
+        da.set_interpret(False)
+        pa.set_interpret(False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=5e-4, atol=5e-4)
