@@ -182,6 +182,8 @@ class InferenceServer:
                 draft_params=draft_params,
                 speculate_k=int(opts.get("speculate_k", 4)),
                 pipe_microgroups=int(opts.get("pipe_microgroups", 0)),
+                prefix_cache=bool(opts.get("prefix_cache", False)),
+                prefix_cache_min=int(opts.get("prefix_cache_min", 16)),
             )
         else:
             self.runner = TaskRunner(

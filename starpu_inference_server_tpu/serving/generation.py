@@ -58,6 +58,24 @@ def _sample_tokens(logits, temps, top_k, step_keys):
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _copy_slot_rows(cache: "KVCache", src, dst) -> "KVCache":
+    """Copy slot ``src``'s whole KV rows (every layer, full context) over
+    slot ``dst`` — the device side of a prefix-cache hit. Rows past the
+    shared prefix carry stale values that are never attended before
+    being overwritten (the same mask/write-ordering invariant the
+    decode/prefill paths already rely on). ``lengths`` is untouched (the
+    tail prefill sets it)."""
+
+    def cp(a):
+        row = jax.lax.dynamic_index_in_dim(a, src, axis=1, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(a, row, dst, axis=1)
+
+    return cache._replace(
+        k=cp(cache.k), v=cp(cache.v),
+        k_scale=cp(cache.k_scale), v_scale=cp(cache.v_scale),
+    )
+
+
 @dataclasses.dataclass
 class GenerationRequest:
     prompt_ids: np.ndarray            # int32 [P]
@@ -119,6 +137,8 @@ class GenerationEngine:
         draft_params=None,
         speculate_k: int = 4,
         pipe_microgroups: int = 0,
+        prefix_cache: bool = False,
+        prefix_cache_min: int = 16,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
         weights shard tensor-/expert-parallel per partition.py rules, the
@@ -217,6 +237,25 @@ class GenerationEngine:
         self.cache: KVCache = self._place_cache(
             init_cache(spec, num_slots, max_len)
         )
+
+        # prefix caching: released slots keep their KV rows resident, so
+        # a new prompt sharing a prefix with a slot's (completed) prompt
+        # copies those rows device-side and prefills only the tail —
+        # shared system prompts prefill once per residency. Host-side
+        # index: _slot_prompts[i] = the prompt whose rows [0, len) slot i
+        # holds (set at prefill COMPLETION, kept after release, dropped
+        # when the slot is reused). Requires chunked prefill (the tail
+        # resumes at an arbitrary offset); no reference counterpart.
+        self.prefix_cache = bool(prefix_cache)
+        self.prefix_cache_min = max(1, int(prefix_cache_min))
+        if self.prefix_cache and not self.prefill_chunk:
+            raise ValueError(
+                "prefix_cache requires chunked prefill (set prefill_chunk)"
+            )
+        self._slot_prompts: List[Optional[np.ndarray]] = [None] * num_slots
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
+        self._copy_prefix = jax.jit(_copy_slot_rows, donate_argnums=(0,))
 
         # speculative decoding: a small DRAFT decoder proposes
         # ``speculate_k`` greedy tokens per block, the target model scores
@@ -615,7 +654,31 @@ class GenerationEngine:
                 request = self._pending.popleft()
             admitted = True
             prompt = np.asarray(request.prompt_ids, np.int32)
+            # the slot's retained rows are about to be overwritten; its
+            # prompt index entry is only valid again at prefill completion
+            stale_prompt = self._slot_prompts[free]
+            self._slot_prompts[free] = None
             try:
+                hit = self._find_prefix(prompt, free, stale_prompt)
+                if hit is not None:
+                    src, l_star = hit
+                    if src != free:
+                        self.cache = self._copy_prefix(
+                            self.cache, jnp.int32(src), jnp.int32(free)
+                        )
+                        if self._draft_params is not None:
+                            self._draft_cache = self._copy_prefix(
+                                self._draft_cache, jnp.int32(src),
+                                jnp.int32(free),
+                            )
+                    self.prefix_hits += 1
+                    self.prefix_tokens_reused += l_star
+                    self._prefilling = _PrefillProgress(
+                        request=request, slot=free, prompt=prompt,
+                        offset=l_star,
+                    )
+                    self._advance_chunk(self._prefilling)
+                    return True
                 if self.prefill_chunk and (
                     len(prompt) > self.prefill_chunk
                     or len(prompt) > self.prefill_buckets[-1]
@@ -636,6 +699,30 @@ class GenerationEngine:
                 request.done.set()
                 if not isinstance(exc, ValueError):
                     raise
+
+    def _find_prefix(self, prompt, free, stale_prompt):
+        """Longest usable cached prefix of ``prompt``: scan the retained
+        per-slot prompt index (completed prefills only — in-flight slots
+        hold None). Returns (src_slot, prefix_len) or None. Capped at
+        len(prompt)-1 so the tail prefill always scores >= 1 row (the
+        first-token logits)."""
+        if not self.prefix_cache:
+            return None
+        best = None
+        candidates = list(enumerate(self._slot_prompts))
+        if stale_prompt is not None:
+            candidates.append((free, stale_prompt))  # in-place reuse
+        for i, stored in candidates:
+            if stored is None:
+                continue
+            n = min(len(stored), len(prompt) - 1)
+            if n <= 0:
+                continue
+            neq = stored[:n] != prompt[:n]
+            l = int(neq.argmax()) if neq.any() else n
+            if l >= self.prefix_cache_min and (best is None or l > best[1]):
+                best = (i, l)
+        return best
 
     def _advance_chunk(self, pf: _PrefillProgress) -> None:
         c = self.prefill_chunk
@@ -691,6 +778,12 @@ class GenerationEngine:
     def _finish_prefill(
         self, slot: int, request: GenerationRequest, logits: np.ndarray
     ) -> None:
+        if self.prefix_cache:
+            # the slot now holds this prompt's rows [0, len) — index it
+            # for prefix reuse (valid until the slot is next admitted)
+            self._slot_prompts[slot] = np.asarray(
+                request.prompt_ids, np.int32
+            )
         first = self._sample_first(logits, request)
         request.first_token_at = now_s()
         self._emit(request, first)
