@@ -184,6 +184,7 @@ class InferenceServer:
                 pipe_microgroups=int(opts.get("pipe_microgroups", 0)),
                 prefix_cache=bool(opts.get("prefix_cache", False)),
                 prefix_cache_min=int(opts.get("prefix_cache_min", 16)),
+                metrics=getattr(self.observability, "metrics", None),
             )
         else:
             self.runner = TaskRunner(

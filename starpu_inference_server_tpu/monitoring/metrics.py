@@ -157,6 +157,37 @@ class MetricsRecorder:
             buckets=(0.1, 0.25, 0.5, 0.75, 0.9, 1.0), **reg
         )
 
+        # -- generation engine (decoder continuous batching; net-new
+        # surface — the reference serves encoders only) ---------------------
+        self.generated_tokens_total = Counter(
+            "generation_tokens_total", "Tokens emitted by the engine", **reg
+        )
+        self.generation_active_slots = Gauge(
+            "generation_active_slots", "Slots holding live sequences", **reg
+        )
+        self.generation_pending = Gauge(
+            "generation_pending_requests", "Requests awaiting a slot", **reg
+        )
+        self.generation_ttft = Histogram(
+            "generation_time_to_first_token_ms", "Submit -> first token",
+            **h
+        )
+        self.generation_tokens_per_request = Histogram(
+            "generation_tokens_per_request", "Tokens emitted per request",
+            buckets=BATCH_BUCKETS, **reg
+        )
+        self.draft_acceptance_ratio = Gauge(
+            "generation_draft_acceptance_ratio",
+            "Accepted draft tokens / drafted (speculative decoding)", **reg
+        )
+        self.prefix_cache_hits_total = Counter(
+            "generation_prefix_cache_hits_total", "Prefix-cache hits", **reg
+        )
+        self.prefix_tokens_reused_total = Counter(
+            "generation_prefix_tokens_reused_total",
+            "Prompt tokens served from resident KV rows", **reg
+        )
+
         # -- congestion gauges (reference: 12 congestion gauges) -----------
         self.congestion_flag = Gauge("inference_congestion_flag", "1 = congested", **reg)
         self.congestion_score = Gauge("inference_congestion_score", "Pressure score", **reg)

@@ -139,6 +139,7 @@ class GenerationEngine:
         pipe_microgroups: int = 0,
         prefix_cache: bool = False,
         prefix_cache_min: int = 16,
+        metrics=None,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
         weights shard tensor-/expert-parallel per partition.py rules, the
@@ -256,6 +257,10 @@ class GenerationEngine:
         self.prefix_hits = 0
         self.prefix_tokens_reused = 0
         self._copy_prefix = jax.jit(_copy_slot_rows, donate_argnums=(0,))
+        # engine observability (MetricsRecorder or None): tokens/TTFT/
+        # slot-occupancy/acceptance families — the decoder analogue of
+        # the batch pipeline's per-job metrics (SURVEY section 5.5)
+        self._metrics = metrics
 
         # speculative decoding: a small DRAFT decoder proposes
         # ``speculate_k`` greedy tokens per block, the target model scores
@@ -673,6 +678,9 @@ class GenerationEngine:
                             )
                     self.prefix_hits += 1
                     self.prefix_tokens_reused += l_star
+                    if self._metrics is not None:
+                        self._metrics.prefix_cache_hits_total.inc()
+                        self._metrics.prefix_tokens_reused_total.inc(l_star)
                     self._prefilling = _PrefillProgress(
                         request=request, slot=free, prompt=prompt,
                         offset=l_star,
@@ -786,10 +794,20 @@ class GenerationEngine:
             )
         first = self._sample_first(logits, request)
         request.first_token_at = now_s()
+        m = self._metrics
+        if m is not None:
+            m.generation_ttft.observe(
+                (request.first_token_at - request.submitted_at) * 1e3
+            )
         self._emit(request, first)
         state = _SlotState(request=request, last_token=first, emitted=1)
         with self._lock:
             self._slots[slot] = state
+            if m is not None:
+                m.generation_active_slots.set(
+                    sum(s is not None for s in self._slots)
+                )
+                m.generation_pending.set(len(self._pending))
         if self._finished(state):
             self._release(slot)
 
@@ -842,6 +860,10 @@ class GenerationEngine:
             self.accepted_drafts += int(
                 np.maximum(greedy_counts - 1, 0).sum()
             )
+            if self._metrics is not None and self.drafted_tokens:
+                self._metrics.draft_acceptance_ratio.set(
+                    self.accepted_drafts / self.drafted_tokens
+                )
         else:
             self.cache, token_block = self._decode(
                 self.params, self.cache, jnp.asarray(ids), jnp.asarray(active),
@@ -877,6 +899,8 @@ class GenerationEngine:
     def _emit(self, request: GenerationRequest, token: int) -> None:
         request.tokens.append(token)
         self.generated_tokens += 1
+        if self._metrics is not None:
+            self._metrics.generated_tokens_total.inc()
         if request.on_token is not None:
             request.on_token(token)
 
@@ -890,9 +914,17 @@ class GenerationEngine:
         with self._lock:
             state = self._slots[slot]
             self._slots[slot] = None
+            if self._metrics is not None:
+                self._metrics.generation_active_slots.set(
+                    sum(s is not None for s in self._slots)
+                )
         if state is not None:
             state.request.finished_at = now_s()
             state.request.done.set()
+            if self._metrics is not None:
+                self._metrics.generation_tokens_per_request.observe(
+                    state.emitted
+                )
         # zero the slot length so the next prefill starts clean
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[slot].set(0)

@@ -134,3 +134,51 @@ class TestMetricsRecorder:
         assert 'inference_failures_total_total' in text or "inference_failures_total" in text
         assert "inference_batch_size_bucket" in text
         assert "process_resident_memory_bytes" in text
+
+
+def test_generation_engine_metrics():
+    """The engine publishes tokens/TTFT/slot/prefix families when given
+    a MetricsRecorder (decoder analogue of the batch pipeline's per-job
+    metrics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.monitoring.metrics import MetricsRecorder
+    from starpu_inference_server_tpu.serving.generation import (
+        GenerationEngine,
+        GenerationRequest,
+    )
+
+    spec = get_spec("llama-tiny", {
+        "layers": 1, "hidden": 64, "q_heads": 2, "kv_heads": 1,
+        "intermediate": 96, "vocab": 64,
+    })
+    m = MetricsRecorder(port=None, model_name="gen-metrics-test")
+    eng = GenerationEngine(
+        spec, init_params(spec, np.random.default_rng(0)),
+        dtype=jnp.float32, num_slots=2, max_len=64, prefill_buckets=[8],
+        prefill_chunk=8, prefix_cache=True, prefix_cache_min=4,
+        metrics=m,
+    )
+    eng.start()
+    try:
+        prompt = np.arange(1, 7, dtype=np.int32)
+        for _ in range(2):
+            req = GenerationRequest(prompt_ids=prompt, max_new_tokens=4)
+            eng.submit(req)
+            req.result(timeout=60.0)
+    finally:
+        eng.stop()
+
+    def value(metric):
+        return metric._value.get()
+
+    assert value(m.generated_tokens_total) == 8
+    assert value(m.prefix_cache_hits_total) == 1
+    assert value(m.prefix_tokens_reused_total) == len(prompt) - 1
+    assert m.generation_ttft._sum.get() > 0
+    assert value(m.generation_active_slots) == 0  # all released
