@@ -257,7 +257,149 @@ class InferenceClient:
         await self._channel.close()
 
 
+class GenerationClient:
+    """Decoder load generator: ``count`` generation requests at bounded
+    concurrency, unary (ModelInfer) or streaming (ModelStreamInfer, which
+    also measures time-to-first-token). Net-new surface — the reference
+    serves no decoders; the summary schema extends the reference's with a
+    ``generation`` block (tokens/s, TTFT percentiles)."""
+
+    def __init__(
+        self,
+        target: str,
+        model_name: str,
+        prompt_len: int,
+        max_new_tokens: int,
+        vocab: int = 32000,
+        seed: int = 7,
+        shared_prefix: int = 0,
+    ):
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
+        self._channel = grpc.aio.insecure_channel(target)
+        self._infer = self._channel.unary_unary(
+            "/inference.GRPCInferenceService/ModelInfer",
+            request_serializer=_pb.ModelInferRequest.SerializeToString,
+            response_deserializer=_pb.ModelInferResponse.FromString,
+        )
+        self._stream = self._channel.stream_stream(
+            "/inference.GRPCInferenceService/ModelStreamInfer",
+            request_serializer=_pb.ModelInferRequest.SerializeToString,
+            response_deserializer=_pb.ModelStreamInferResponse.FromString,
+        )
+        rng = np.random.default_rng(seed)
+        prefix = rng.integers(1, vocab, (shared_prefix,), np.int64)
+        self.prompts = [
+            np.concatenate(
+                [prefix, rng.integers(1, vocab, (max(1, prompt_len - shared_prefix),), np.int64)]
+            )
+            for _ in range(INPUT_POOL_SIZE)
+        ]
+        self.sent = 0
+        self.handled = 0
+        self.rejected = 0
+        self.errors = 0
+        self.tokens = 0
+        self.roundtrips: List[float] = []
+        self.ttfts: List[float] = []
+
+    def _request(self, rid: int) -> _pb.ModelInferRequest:
+        prompt = self.prompts[rid % INPUT_POOL_SIZE]
+        req = _pb.ModelInferRequest(model_name=self.model_name, id=f"gen-{rid}")
+        t = req.inputs.add()
+        t.name = "input_ids"
+        t.datatype = "INT64"
+        t.shape.extend([1, len(prompt)])
+        req.raw_input_contents.append(prompt.tobytes())
+        req.parameters["max_new_tokens"].int64_param = self.max_new_tokens
+        return req
+
+    async def _one(self, rid: int, stream: bool) -> None:
+        self.sent += 1
+        t0 = wall_ms()
+        try:
+            if stream:
+                first = None
+                n = 0
+                async for msg in self._stream(iter([self._request(rid)])):
+                    if msg.error_message:
+                        self.errors += 1
+                        return
+                    if first is None:
+                        first = wall_ms()
+                    n += len(msg.infer_response.raw_output_contents[0]) // 4
+                if first is not None:
+                    self.ttfts.append(first - t0)
+                self.tokens += n
+            else:
+                resp = await self._infer(self._request(rid))
+                self.tokens += len(resp.raw_output_contents[0]) // 4
+        except grpc.aio.AioRpcError as exc:
+            if exc.code() == grpc.StatusCode.RESOURCE_EXHAUSTED:
+                self.rejected += 1
+            else:
+                self.errors += 1
+            return
+        self.roundtrips.append(wall_ms() - t0)
+        self.handled += 1
+
+    async def run(self, count: int, concurrency: int, stream: bool) -> float:
+        start = time.monotonic()
+        sem = asyncio.Semaphore(max(1, concurrency))
+
+        async def worker(rid):
+            async with sem:
+                await self._one(rid, stream)
+
+        await asyncio.gather(*(worker(i) for i in range(count)))
+        return time.monotonic() - start
+
+    def summary(self, elapsed_s: float) -> Dict:
+        out = {
+            "requests": {
+                "sent": self.sent,
+                "handled": self.handled,
+                "rejected": self.rejected,
+                "errors": self.errors,
+            },
+            "throughput_rps": self.handled / elapsed_s if elapsed_s else 0.0,
+            "elapsed_s": elapsed_s,
+            "latency_ms": {"roundtrip": summarize(self.roundtrips)},
+            "generation": {
+                "tokens_total": self.tokens,
+                "tokens_per_s": self.tokens / elapsed_s if elapsed_s else 0.0,
+                "tokens_per_request": (
+                    self.tokens / self.handled if self.handled else 0.0
+                ),
+            },
+        }
+        if self.ttfts:
+            out["generation"]["ttft_ms"] = summarize(self.ttfts)
+        return out
+
+    async def close(self) -> None:
+        await self._channel.close()
+
+
 async def _amain(args) -> Dict:
+    if args.generate > 0:
+        probe = InferenceClient(
+            args.target, args.model,
+            [TensorSpec("input_ids", (args.prompt_len,), "INT64")],
+            seed=args.seed,
+        )
+        await probe.wait_ready(timeout_s=args.ready_timeout_s)
+        await probe.close()
+        gen = GenerationClient(
+            args.target, args.model, prompt_len=args.prompt_len,
+            max_new_tokens=args.generate, vocab=args.vocab, seed=args.seed,
+            shared_prefix=args.shared_prefix,
+        )
+        elapsed = await gen.run(
+            args.request_number, args.concurrency, args.stream
+        )
+        await gen.close()
+        return gen.summary(elapsed)
     specs = [parse_input_arg(a) for a in args.input]
     client = InferenceClient(
         args.target, args.model, specs, batch=args.batch, seed=args.seed
@@ -276,7 +418,7 @@ def main(argv=None) -> int:
     parser.add_argument("--target", default="127.0.0.1:8001")
     parser.add_argument("--model", required=True)
     parser.add_argument(
-        "--input", action="append", required=True,
+        "--input", action="append", default=[],
         help="name:shape:dtype, e.g. input:3x224x224:FP32",
     )
     parser.add_argument("--request-number", type=int, default=100)
@@ -286,7 +428,20 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--ready-timeout-s", type=float, default=300.0)
     parser.add_argument("--summary-json", help="write summary JSON here")
+    # decoder generation load mode (net-new; reference has no decoders)
+    parser.add_argument("--generate", type=int, default=0,
+                        help="max_new_tokens (> 0 switches to generation mode)")
+    parser.add_argument("--prompt-len", type=int, default=64)
+    parser.add_argument("--vocab", type=int, default=32000)
+    parser.add_argument("--concurrency", type=int, default=8)
+    parser.add_argument("--stream", action="store_true",
+                        help="use ModelStreamInfer and report TTFT")
+    parser.add_argument("--shared-prefix", type=int, default=0,
+                        help="prompt tokens shared across the pool "
+                             "(exercises the server's prefix cache)")
     args = parser.parse_args(argv)
+    if not args.generate and not args.input:
+        parser.error("--input is required (or use --generate)")
 
     summary = asyncio.run(_amain(args))
     text = json.dumps(summary, indent=2)
