@@ -536,3 +536,42 @@ def add_inference_service(server: grpc.aio.Server, servicer: InferenceServicer) 
     server.add_generic_rpc_handlers(
         (grpc.method_handlers_generic_handler(SERVICE_FULL_NAME, handlers),)
     )
+    add_health_service(server, servicer)
+
+
+def add_health_service(server: grpc.aio.Server, servicer) -> None:
+    """Standard ``grpc.health.v1.Health`` service, hand-encoded (the
+    grpc_health package is not vendored here; the wire format is one
+    enum field). Reference parity: the C++ server registers the gRPC
+    health service around its lifetime
+    (inference_service_async_server.cpp:446-507). Kubernetes-style
+    ``grpc_health_probe`` checks work against this."""
+    # HealthCheckResponse{status: SERVING=1 / NOT_SERVING=2}
+    SERVING = b"\x08\x01"
+    NOT_SERVING = b"\x08\x02"
+
+    def _status() -> bytes:
+        live = getattr(servicer, "live", None)
+        return SERVING if (live is None or live()) else NOT_SERVING
+
+    async def check(request: bytes, context):
+        return _status()
+
+    async def watch(request: bytes, context):
+        yield _status()
+
+    handlers = {
+        "Check": grpc.unary_unary_rpc_method_handler(
+            check,
+            request_deserializer=lambda b: b,
+            response_serializer=lambda b: b,
+        ),
+        "Watch": grpc.unary_stream_rpc_method_handler(
+            watch,
+            request_deserializer=lambda b: b,
+            response_serializer=lambda b: b,
+        ),
+    }
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler("grpc.health.v1.Health", handlers),)
+    )

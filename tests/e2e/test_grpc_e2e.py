@@ -251,3 +251,29 @@ def test_queue_full_returns_resource_exhausted():
     assert summary["requests"]["handled"] + summary["requests"]["rejected"] == 200
     assert summary["requests"]["errors"] == 0
     assert summary["requests"]["handled"] > 0
+
+
+def test_health_service(harness):
+    """The standard grpc.health.v1.Health service answers SERVING
+    (hand-encoded wire format; reference registers the same service,
+    inference_service_async_server.cpp:446-457)."""
+    async def go():
+        channel = grpc.aio.insecure_channel(harness.target)
+        check = channel.unary_unary(
+            "/grpc.health.v1.Health/Check",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        resp = await check(b"")
+        assert resp == b"\x08\x01"  # status: SERVING
+        watch = channel.unary_stream(
+            "/grpc.health.v1.Health/Watch",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        async for msg in watch(b""):
+            assert msg == b"\x08\x01"
+            break
+        await channel.close()
+
+    run_async(go())
