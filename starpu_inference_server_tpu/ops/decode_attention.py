@@ -59,42 +59,51 @@ def _kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    hq, d = q_ref.shape[1], q_ref.shape[2]
-    hkv = hq // rep
-    q = q_ref[0].reshape(hkv, rep, d).astype(jnp.float32)
+    # chunks entirely past the slot's length are skipped: their fetch
+    # index clamps to the last live chunk (no DMA re-issue) and the
+    # compute is predicated off — decode cost tracks the ACTUAL sequence
+    # length, not max_len
+    @pl.when(c * chunk <= len_ref[s])
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hkv = hq // rep
+        q = q_ref[0].reshape(hkv, rep, d).astype(jnp.float32)
 
-    k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]   # [C, Hkv, D]
-    v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]  # [C, Hkv, D]
+        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
 
-    # logits[kv, rep, t] = q[kv, rep, :] . k[t, kv, :]
-    kt = jnp.transpose(k, (1, 0, 2))  # [Hkv, C, D]
-    logits = jax.lax.dot_general(
-        q, kt,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(d)                                           # [Hkv, rep, C]
+        # logits[kv, rep, t] = q[kv, rep, :] . k[t, kv, :]
+        kt = jnp.transpose(k, (1, 0, 2))  # [Hkv, C, D]
+        logits = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(d)                                         # [Hkv, rep, C]
 
-    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
-    valid = pos <= len_ref[s]
-    logits = jnp.where(valid, logits, -1e30)
+        pos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, chunk), 2
+        )
+        valid = pos <= len_ref[s]
+        logits = jnp.where(valid, logits, -1e30)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new[..., None])                     # [Hkv, rep, C]
-    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
-    m_scr[:] = m_new
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])                   # [Hkv, rep, C]
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+        m_scr[:] = m_new
 
-    vt = jnp.transpose(v, (1, 0, 2))  # [Hkv, C, D]
-    pv = jax.lax.dot_general(
-        p, vt,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                          # [Hkv, rep, D]
-    acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+        vt = jnp.transpose(v, (1, 0, 2))  # [Hkv, C, D]
+        pv = jax.lax.dot_general(
+            p, vt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                        # [Hkv, rep, D]
+        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
 
     @pl.when(c == n_chunks - 1)
     def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
         out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
         o_ref[0] = out.reshape(hq, d).astype(o_ref.dtype)
 
@@ -120,15 +129,28 @@ def decode_attention(
     assert t % chunk == 0, (t, chunk)
     n_chunks = t // chunk
 
+    def kv_idx(i, c, lens):
+        # clamp to the slot's last live chunk: the index stops changing
+        # past it, so the pipeline stops fetching dead cache rows
+        return jnp.minimum(c, lens[i] // chunk)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
-            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+            pl.BlockSpec(
+                (1, chunk, hkv, d), lambda i, c, lens: (i, kv_idx(i, c, lens), 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv, d), lambda i, c, lens: (i, kv_idx(i, c, lens), 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv), lambda i, c, lens: (i, kv_idx(i, c, lens), 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv), lambda i, c, lens: (i, kv_idx(i, c, lens), 0)
+            ),
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
         scratch_shapes=[
@@ -180,35 +202,45 @@ def _window_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     r, d = q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[0].astype(jnp.float32)                           # [Hkv, R, D]
-    k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]    # [C, Hkv, D]
-    v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
-    kt = jnp.transpose(k, (1, 0, 2))                           # [Hkv, C, D]
-    vt = jnp.transpose(v, (1, 0, 2))
-    logits = jax.lax.dot_general(
-        q, kt,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(d)                                           # [Hkv, R, C]
+    w = r // rep
 
-    # row r's query sits at position lengths[s] + r//rep and attends
-    # cache positions <= that (verify_step's mask)
-    w_of_row = jax.lax.broadcasted_iota(jnp.int32, (1, r, chunk), 1) // rep
-    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, r, chunk), 2)
-    logits = jnp.where(pos <= len_ref[s] + w_of_row, logits, -1e30)
+    # skip chunks entirely past the window's last position (lengths+W-1):
+    # the fetch index clamps alongside, so dead cache rows never DMA
+    @pl.when(c * chunk <= len_ref[s] + w - 1)
+    def _():
+        q = q_ref[0].astype(jnp.float32)                        # [Hkv, R, D]
+        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]  # [C, Hkv, D]
+        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        kt = jnp.transpose(k, (1, 0, 2))                        # [Hkv, C, D]
+        vt = jnp.transpose(v, (1, 0, 2))
+        logits = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(d)                                        # [Hkv, R, C]
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new[..., None])
-    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
-    m_scr[:] = m_new
-    pv = jax.lax.dot_general(
-        p, vt,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                          # [Hkv, R, D]
-    acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+        # row r's query sits at position lengths[s] + r//rep and attends
+        # cache positions <= that (verify_step's mask)
+        w_of_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, r, chunk), 1) // rep
+        )
+        pos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, r, chunk), 2
+        )
+        logits = jnp.where(pos <= len_ref[s] + w_of_row, logits, -1e30)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+        m_scr[:] = m_new
+        pv = jax.lax.dot_general(
+            p, vt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                       # [Hkv, R, D]
+        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -249,15 +281,28 @@ def window_decode_attention(
         .transpose(0, 2, 1, 3, 4)
         .reshape(s, hkv, r, d)
     )
+    def kv_idx(i, c, lens):
+        # clamp to the window's last live chunk (positions reach
+        # lengths + W - 1); past it the index repeats -> no more DMA
+        return jnp.minimum(c, (lens[i] + w - 1) // chunk)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv, d), lambda i, c, *_: (i, c, 0, 0)),
-            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
-            pl.BlockSpec((1, chunk, hkv), lambda i, c, *_: (i, c, 0)),
+            pl.BlockSpec(
+                (1, chunk, hkv, d), lambda i, c, lens: (i, kv_idx(i, c, lens), 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv, d), lambda i, c, lens: (i, kv_idx(i, c, lens), 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv), lambda i, c, lens: (i, kv_idx(i, c, lens), 0)
+            ),
+            pl.BlockSpec(
+                (1, chunk, hkv), lambda i, c, lens: (i, kv_idx(i, c, lens), 0)
+            ),
         ],
         out_specs=pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
         scratch_shapes=[
