@@ -184,6 +184,11 @@ class InferenceServer:
                 pipe_microgroups=int(opts.get("pipe_microgroups", 0)),
                 prefix_cache=bool(opts.get("prefix_cache", False)),
                 prefix_cache_min=int(opts.get("prefix_cache_min", 16)),
+                # overlapped dispatch (block N+1 in flight while block N's
+                # tokens stream out) is a pure throughput win at steady
+                # state; the cost is one extra sync-block of context
+                # headroom per request
+                decode_overlap=bool(opts.get("decode_overlap", True)),
                 metrics=getattr(self.observability, "metrics", None),
             )
         else:

@@ -139,6 +139,7 @@ class GenerationEngine:
         pipe_microgroups: int = 0,
         prefix_cache: bool = False,
         prefix_cache_min: int = 16,
+        decode_overlap: bool = False,
         metrics=None,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
@@ -223,6 +224,19 @@ class GenerationEngine:
         # block are computed-and-discarded (bounded waste, stale cache
         # rows are reset at slot release).
         self.steps_per_sync = max(1, int(steps_per_sync))
+        # overlapped dispatch: keep ONE decode block in flight — block
+        # N+1 is dispatched from the device-resident carry (next ids +
+        # sampling progress) BEFORE block N's tokens are fetched, so the
+        # host-side fetch/emit/stream work and the device compute run
+        # concurrently. Valid only while slot membership is unchanged;
+        # any admit/release falls back to one synchronous block. Greedy
+        # and seeded-sampling outputs are bitwise-identical either way
+        # (the PRNG folds (seed, absolute progress), which the carry
+        # threads through on device). Costs one extra block of headroom
+        # (tokens computed past EOS before the host can see it).
+        self.decode_overlap = bool(decode_overlap)
+        self._inflight = None
+        self._membership_dirty = False
         self.prefill_buckets = sorted(prefill_buckets or [32, 64, 128, 256])
         # chunked prefill: prompts longer than this are prefilled
         # ``prefill_chunk`` tokens at a time, with decode blocks for the
@@ -503,13 +517,15 @@ class GenerationEngine:
             )
             return (tcache, dcache, nxt, progress), packed
 
-        (tcache, dcache, _, _), packed = jax.lax.scan(
+        (tcache, dcache, nxt, progress), packed = jax.lax.scan(
             one_block,
             (tcache, dcache, ids, progress),
             None,
             length=self.steps_per_sync,
         )
-        return tcache, dcache, packed
+        # nxt/progress stay on device so an overlapped block N+1 can be
+        # dispatched before the host fetches this block's tokens
+        return tcache, dcache, packed, nxt, progress
 
     def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
                            seeds, progress):
@@ -533,10 +549,14 @@ class GenerationEngine:
             return cache, nxt, tokens.at[i].set(nxt)
 
         tokens0 = jnp.zeros((steps, s), jnp.int32)
-        cache, _, tokens = jax.lax.fori_loop(
+        cache, nxt, tokens = jax.lax.fori_loop(
             0, steps, body, (cache, ids, tokens0)
         )
-        return cache, tokens
+        # device carry for overlapped dispatch: the next block's input
+        # ids and the per-slot sampling progress (one commit per step on
+        # the non-speculative path; released slots invalidate the carry
+        # via _membership_dirty before it is ever used)
+        return cache, tokens, nxt, progress + steps
 
     def _bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
@@ -557,7 +577,10 @@ class GenerationEngine:
         per_block = (
             self.speculate_k + 1 if self._draft_params is not None else 1
         )
-        headroom = self.steps_per_sync * per_block - 1
+        # overlapped dispatch keeps a second block in flight, doubling
+        # the tokens a slot can advance past EOS before the host sees it
+        blocks_in_flight = 2 if self.decode_overlap else 1
+        headroom = blocks_in_flight * self.steps_per_sync * per_block - 1
         if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
@@ -628,8 +651,14 @@ class GenerationEngine:
                     with self._work:
                         if not self._pending and not self._stop.is_set():
                             self._work.wait(timeout=0.05)
+            if self._inflight is not None:
+                # deliver the overlapped block's tokens before exiting so
+                # a drain-then-stop shutdown loses nothing
+                inflight, self._inflight = self._inflight, None
+                self._consume_block(inflight)
         except BaseException as exc:  # noqa: BLE001 - fail all open requests
             log.error("generation engine failed: %s", exc)
+            self._inflight = None
             with self._lock:
                 failures = [s.request for s in self._slots if s is not None]
                 failures.extend(self._pending)
@@ -792,6 +821,7 @@ class GenerationEngine:
             self._slot_prompts[slot] = np.asarray(
                 request.prompt_ids, np.int32
             )
+        self._membership_dirty = True  # overlap carry is stale now
         first = self._sample_first(logits, request)
         request.first_token_at = now_s()
         m = self._metrics
@@ -825,38 +855,68 @@ class GenerationEngine:
         p /= p.sum()
         return int(rng.choice(len(p), p=p))
 
-    def _step_active(self) -> bool:
+    def _snapshot_active(self):
+        """Host snapshot of the active slots: per-slot input ids and
+        sampling parameters, plus the exact _SlotState references the
+        block was dispatched for (a consumed block only emits to a slot
+        whose state is STILL the dispatched one — overlapped blocks may
+        outlive a release/re-admit of their slot)."""
         with self._lock:
             if not any(s is not None for s in self._slots):
-                return False
-            ids = np.zeros((self.num_slots,), np.int32)
-            active = np.zeros((self.num_slots,), bool)
-            temps = np.zeros((self.num_slots,), np.float32)
-            top_k = np.zeros((self.num_slots,), np.int32)
-            seeds = np.zeros((self.num_slots,), np.uint32)
-            progress = np.zeros((self.num_slots,), np.int32)
+                return None
+            snap = {
+                "ids": np.zeros((self.num_slots,), np.int32),
+                "active": np.zeros((self.num_slots,), bool),
+                "temps": np.zeros((self.num_slots,), np.float32),
+                "top_k": np.zeros((self.num_slots,), np.int32),
+                "seeds": np.zeros((self.num_slots,), np.uint32),
+                "progress": np.zeros((self.num_slots,), np.int32),
+                "states": list(self._slots),
+            }
             for i, s in enumerate(self._slots):
                 if s is not None:
-                    ids[i] = s.last_token
-                    active[i] = True
-                    temps[i] = s.request.temperature
-                    top_k[i] = s.request.top_k
-                    seeds[i] = s.request.seed & 0xFFFFFFFF
-                    progress[i] = s.emitted
+                    snap["ids"][i] = s.last_token
+                    snap["active"][i] = True
+                    snap["temps"][i] = s.request.temperature
+                    snap["top_k"][i] = s.request.top_k
+                    snap["seeds"][i] = s.request.seed & 0xFFFFFFFF
+                    snap["progress"][i] = s.emitted
+        return snap
 
+    def _dispatch_block(self, ids, progress, snap):
+        """Dispatch one decode block (async — no fetch). ``ids`` and
+        ``progress`` are either fresh host arrays or the previous
+        block's device-resident carry (overlap steady state)."""
+        active = jnp.asarray(snap["active"])
+        temps = jnp.asarray(snap["temps"])
+        top_k = jnp.asarray(snap["top_k"])
+        seeds = jnp.asarray(snap["seeds"])
         if self._draft_params is not None:
-            self.cache, self._draft_cache, packed = self._spec_decode(
+            (self.cache, self._draft_cache, packed, nxt,
+             prog) = self._spec_decode(
                 self.params, self._draft_params, self.cache,
-                self._draft_cache, jnp.asarray(ids), jnp.asarray(active),
-                jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
-                jnp.asarray(progress),
+                self._draft_cache, ids, active, temps, top_k, seeds,
+                progress,
             )
-            packed = np.asarray(packed)       # [blocks, S, K+2]: one fetch
-            tokens = packed[:, :, :-1]        # [blocks, S, K+1]
-            counts = packed[:, :, -1]         # [blocks, S]
-            n_greedy = int((active & (temps == 0)).sum())
+            return {"packed": packed, "nxt": nxt, "prog": prog, "snap": snap}
+        self.cache, block, nxt, prog = self._decode(
+            self.params, self.cache, ids, active, temps, top_k, seeds,
+            progress,
+        )
+        return {"block": block, "nxt": nxt, "prog": prog, "snap": snap}
+
+    def _consume_block(self, rec) -> None:
+        """Fetch a dispatched block's tokens (the sync point) and commit
+        them to the slots they were dispatched for."""
+        snap = rec["snap"]
+        active = snap["active"]
+        if "packed" in rec:
+            packed = np.asarray(rec["packed"])  # [blocks, S, K+2]: one fetch
+            tokens = packed[:, :, :-1]          # [blocks, S, K+1]
+            counts = packed[:, :, -1]           # [blocks, S]
+            n_greedy = int((active & (snap["temps"] == 0)).sum())
             self.drafted_tokens += self.speculate_k * n_greedy * tokens.shape[0]
-            greedy_counts = counts[:, active & (temps == 0)]
+            greedy_counts = counts[:, active & (snap["temps"] == 0)]
             self.accepted_drafts += int(
                 np.maximum(greedy_counts - 1, 0).sum()
             )
@@ -865,13 +925,8 @@ class GenerationEngine:
                     self.accepted_drafts / self.drafted_tokens
                 )
         else:
-            self.cache, token_block = self._decode(
-                self.params, self.cache, jnp.asarray(ids), jnp.asarray(active),
-                jnp.asarray(temps), jnp.asarray(top_k), jnp.asarray(seeds),
-                jnp.asarray(progress),
-            )
             # [steps, S] -> [steps, S, 1] with one committed token per block
-            tokens = np.asarray(token_block)[:, :, None]
+            tokens = np.asarray(rec["block"])[:, :, None]
             counts = np.ones(tokens.shape[:2], np.int32)
         self.steps += tokens.shape[0]
 
@@ -882,8 +937,8 @@ class GenerationEngine:
                     continue
                 with self._lock:
                     state = self._slots[i]
-                if state is None:
-                    continue
+                if state is None or state is not snap["states"][i]:
+                    continue  # slot released (and possibly re-admitted)
                 for j in range(int(counts[b, i])):
                     token = int(tokens[b, i, j])
                     state.last_token = token
@@ -894,6 +949,27 @@ class GenerationEngine:
                         break
         for i in finished:
             self._release(i)
+
+    def _step_active(self) -> bool:
+        inflight, self._inflight = self._inflight, None
+        snap = self._snapshot_active()
+        if inflight is None:
+            if snap is None:
+                return False
+            self._membership_dirty = False
+            inflight = self._dispatch_block(
+                jnp.asarray(snap["ids"]), jnp.asarray(snap["progress"]), snap
+            )
+        nxt_rec = None
+        if self.decode_overlap and not self._membership_dirty:
+            # steady state: dispatch block N+1 from the device carry
+            # under block N's masks BEFORE fetching block N, so the
+            # device computes while the host fetches/emits/streams
+            nxt_rec = self._dispatch_block(
+                inflight["nxt"], inflight["prog"], inflight["snap"]
+            )
+        self._consume_block(inflight)  # may release slots -> dirty
+        self._inflight = nxt_rec
         return True
 
     def _emit(self, request: GenerationRequest, token: int) -> None:
@@ -911,6 +987,7 @@ class GenerationEngine:
         return req.eos_id is not None and state.request.tokens[-1] == req.eos_id
 
     def _release(self, slot: int) -> None:
+        self._membership_dirty = True  # overlap carry is stale now
         with self._lock:
             state = self._slots[slot]
             self._slots[slot] = None
