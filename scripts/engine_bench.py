@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Continuous-batching engine throughput benchmark.
+
+Drives the GenerationEngine directly (no gRPC): N concurrent requests
+of fixed prompt/new-token lengths through S slots, reporting decode
+tokens/s. Flags select quantization, steps_per_sync, overlapped
+dispatch, and speculation, so engine-level changes can be A/B'd on the
+same chip. The reference has no decoder analogue (SURVEY.md section
+5.7); this is the measurement harness for the BASELINE.json
+continuous-batching targets.
+
+Example (the STATUS.md configuration):
+  python scripts/engine_bench.py --family llama-1b --quant int8 \
+      --slots 16 --requests 32 --new-tokens 128 --steps-per-sync 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="llama-1b")
+    p.add_argument("--quant", default="int8",
+                   choices=["none", "int8", "int4"])
+    p.add_argument("--slots", type=int, default=16)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--prompt-len", type=int, default=32)
+    p.add_argument("--new-tokens", type=int, default=128)
+    p.add_argument("--steps-per-sync", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--overlap", action="store_true", default=False)
+    p.add_argument("--no-overlap", dest="overlap", action="store_false")
+    p.add_argument("--ab", action="store_true",
+                   help="run overlap OFF then ON in one process (shared "
+                        "compiled executables -> clean comparison)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (smoke runs)")
+    p.add_argument("--vocab", type=int, default=0,
+                   help="override vocab (0 = family default)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.ops.quant import maybe_quantize_tree
+    from starpu_inference_server_tpu.serving.generation import (
+        GenerationEngine,
+        GenerationRequest,
+    )
+
+    options = {}
+    if args.vocab:
+        options["vocab"] = args.vocab
+    spec = get_spec(args.family, options)
+    print(f"# building {args.family} ({args.quant}) ...", file=sys.stderr)
+    params = init_params(spec, np.random.default_rng(0))
+    bits = {"none": None, "int8": 8, "int4": 4}[args.quant]
+    params = maybe_quantize_tree(params, bits)
+
+    rng = np.random.default_rng(1)
+    prompts = [
+        rng.integers(1, spec.vocab, size=args.prompt_len).astype(np.int32)
+        for _ in range(args.requests)
+    ]
+
+    def run_one(overlap: bool) -> dict:
+        engine = GenerationEngine(
+            spec,
+            params,
+            dtype=jnp.bfloat16,
+            num_slots=args.slots,
+            max_len=args.max_len,
+            prefill_buckets=[args.prompt_len],
+            steps_per_sync=args.steps_per_sync,
+            decode_overlap=overlap,
+        )
+        engine.start()
+        # warmup: prime prefill + decode executables (remote compiles
+        # are 30-60 s each over the axon tunnel; see CLAUDE.md). The
+        # executables do not depend on the overlap flag, so an --ab
+        # run compiles once and both passes reuse them.
+        print(f"# warmup (overlap={overlap}) ...", file=sys.stderr)
+        engine.generate(prompts[0], max_new_tokens=2 * args.steps_per_sync,
+                        timeout=600.0)
+        print("# measuring ...", file=sys.stderr)
+        reqs = [
+            GenerationRequest(prompt_ids=pr, max_new_tokens=args.new_tokens)
+            for pr in prompts
+        ]
+        t0 = time.perf_counter()
+        for r in reqs:
+            engine.submit(r)
+        outs = [r.result(timeout=1200.0) for r in reqs]
+        dt = time.perf_counter() - t0
+        engine.stop()
+        total = sum(len(t) for t in outs)
+        assert all(len(t) == args.new_tokens for t in outs)
+        return {
+            "metric": "engine_decode_tokens_per_sec",
+            "family": args.family,
+            "quant": args.quant,
+            "slots": args.slots,
+            "requests": args.requests,
+            "new_tokens": args.new_tokens,
+            "steps_per_sync": args.steps_per_sync,
+            "overlap": overlap,
+            "value": round(total / dt, 1),
+            "unit": "tokens/s",
+            "wall_s": round(dt, 2),
+        }
+
+    if args.ab:
+        off = run_one(False)
+        on = run_one(True)
+        on["vs_no_overlap"] = round(on["value"] / off["value"], 3)
+        print(json.dumps(off))
+        print(json.dumps(on))
+    else:
+        print(json.dumps(run_one(args.overlap)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
