@@ -279,6 +279,10 @@ class InferenceServicer:
                 obs.metrics.requests_by_status.labels("INVALID_ARGUMENT").inc()
             await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
 
+        # cancellation wiring, generation flavour (reference:
+        # AsyncOps::setup_async_cancellation inference_service_async.cpp:
+        # 392-444): a dropped client stops burning the slot
+        context.add_done_callback(lambda _ctx: gen.cancel())
         loop = asyncio.get_running_loop()
         try:
             tokens = await loop.run_in_executor(None, gen.result, 300.0)
@@ -286,6 +290,12 @@ class InferenceServicer:
             if obs is not None:
                 obs.metrics.requests_by_status.labels("INTERNAL").inc()
             await context.abort(grpc.StatusCode.INTERNAL, str(exc))
+        if gen.cancel_flag.is_set() and context.cancelled():
+            if obs is not None:
+                obs.metrics.requests_by_status.labels("CANCELLED").inc()
+            await context.abort(
+                grpc.StatusCode.CANCELLED, "request cancelled"
+            )
 
         out = np.asarray(tokens, np.int32)
         response = pb.ModelInferResponse(
@@ -354,6 +364,8 @@ class InferenceServicer:
                 yield pb.ModelStreamInferResponse(error_message=str(exc))
                 continue
 
+            # a client that drops the stream stops burning the slot
+            context.add_done_callback(lambda _ctx: gen.cancel())
             done_task = loop.run_in_executor(None, gen.done.wait, 300.0)
             emitted = 0
             while True:

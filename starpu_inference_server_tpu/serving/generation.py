@@ -93,6 +93,18 @@ class GenerationRequest:
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
+    cancel_flag: threading.Event = dataclasses.field(
+        default_factory=threading.Event
+    )
+
+    def cancel(self) -> None:
+        """Request-side cancellation (reference parity:
+        inference_service_async.cpp:392-444 wires gRPC context
+        cancellation to the job's cancel flag). The engine drops a
+        pending request at admission, aborts an in-flight chunked
+        prefill, and releases an active slot at the next sync block;
+        ``done`` is set in every case. Safe after completion (no-op)."""
+        self.cancel_flag.set()
 
     def result(self, timeout: Optional[float] = None) -> List[int]:
         if not self.done.wait(timeout=timeout):
@@ -686,6 +698,11 @@ class GenerationEngine:
                 if free is None or not self._pending:
                     return admitted
                 request = self._pending.popleft()
+            if request.cancel_flag.is_set():
+                # dropped before ever touching a slot
+                request.finished_at = now_s()
+                request.done.set()
+                continue
             admitted = True
             prompt = np.asarray(request.prompt_ids, np.int32)
             # the slot's retained rows are about to be overwritten; its
@@ -762,6 +779,21 @@ class GenerationEngine:
         return best
 
     def _advance_chunk(self, pf: _PrefillProgress) -> None:
+        if pf.request.cancel_flag.is_set():
+            # abort the in-flight prefill: zero the slot's cache length
+            # (rows written so far are never attended) and free it —
+            # the slot was reserved but never activated
+            self._prefilling = None
+            self.cache = self.cache._replace(
+                lengths=self.cache.lengths.at[pf.slot].set(0)
+            )
+            if self._draft_params is not None:
+                self._draft_cache = self._draft_cache._replace(
+                    lengths=self._draft_cache.lengths.at[pf.slot].set(0)
+                )
+            pf.request.finished_at = now_s()
+            pf.request.done.set()
+            return
         c = self.prefill_chunk
         chunk = pf.prompt[pf.offset : pf.offset + c]
         valid = len(chunk)
@@ -982,6 +1014,8 @@ class GenerationEngine:
 
     def _finished(self, state: _SlotState) -> bool:
         req = state.request
+        if req.cancel_flag.is_set():
+            return True
         if state.emitted >= req.max_new_tokens:
             return True
         return req.eos_id is not None and state.request.tokens[-1] == req.eos_id

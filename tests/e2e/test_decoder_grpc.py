@@ -155,3 +155,32 @@ def test_bad_prompt_rejected(harness):
             await channel.close()
 
     assert run_async(go()) == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_client_cancel_frees_slot(harness):
+    """Cancelling a long ModelInfer mid-generation stops the engine from
+    burning the slot: a follow-up request completes promptly (reference
+    parity: AsyncOps::setup_async_cancellation)."""
+    async def go():
+        channel = grpc.aio.insecure_channel(harness.target)
+        infer = channel.unary_unary(
+            "/inference.GRPCInferenceService/ModelInfer",
+            request_serializer=pb.ModelInferRequest.SerializeToString,
+            response_deserializer=pb.ModelInferResponse.FromString,
+        )
+        call = infer(_infer_request([3, 7, 11], max_new=40, rid="cxl"),
+                     timeout=120)
+        await asyncio.sleep(0.3)  # let it enter a slot and decode
+        call.cancel()
+        try:
+            await call
+        except (asyncio.CancelledError, grpc.aio.AioRpcError):
+            pass
+        # the engine must still serve (slot released, not leaked)
+        resp = await infer(_infer_request([5, 9], max_new=4, rid="after"),
+                           timeout=120)
+        await channel.close()
+        return np.frombuffer(resp.raw_output_contents[0], np.int32)
+
+    tokens = run_async(go())
+    assert tokens.shape == (4,)
