@@ -64,19 +64,6 @@ class ModelEngine:
 
         _nn.set_w8a8(model.quant is _QM.W8A8)
 
-        if self.platform == "tpu" and cfg.devices.mesh.size <= 1:
-            # Pallas fused kernels are single-device programs; in mesh
-            # mode GSPMD partitions the XLA dequant+dot path instead
-            from ..ops import nn
-            from ..ops.quant import pack_int4_tree
-            from ..utils.config import QuantMode
-
-            nn.set_use_pallas(True)
-            if model.quant is QuantMode.INT4:
-                # planar-pack int4 leaves for the Pallas kernel: HBM
-                # weight footprint drops 2x vs the int8 carrier
-                model.params = pack_int4_tree(model.params)
-
         # Placement: mesh of size 1 -> one param replica per device
         # (reference: clone_model_to_gpus); mesh > 1 -> ONE logical
         # executor over the whole mesh with tensor-parallel params and
@@ -86,61 +73,29 @@ class ModelEngine:
         mesh_cfg = cfg.devices.mesh
         if mesh_cfg.size > 1:
             from ..parallel.mesh import MeshAxes, make_device_mesh
-            from ..parallel.partition import (
-                batch_sharding,
-                partition_rules_for,
-                shard_params,
-            )
+            from ..parallel.partition import batch_sharding
 
             self.mesh = make_device_mesh(
                 MeshAxes(data=mesh_cfg.data, model=mesh_cfg.model,
                          expert=mesh_cfg.expert, pipe=mesh_cfg.pipe),
                 devices=self.devices,
             )
-            rules = partition_rules_for(model.definition.family)
-            if mesh_cfg.pipe > 1 and model.definition.pipeline_apply is not None:
-                # pipeline parallelism: the layer stack shards over the
-                # 'pipe' axis as ONE stacked pytree; the forward is the
-                # GPipe shard_map program (parallel/pipeline.py) instead
-                # of plain GSPMD propagation
-                from ..parallel.pipeline import prepare_pipelined_params
-
-                self._pipelined = True
-                self._microbatches = mesh_cfg.microbatches
-                shuffle = None
-                if mesh_cfg.model > 1:
-                    hook = model.definition.tp_layer_shuffle
-                    if hook is None:
-                        raise DeviceError(
-                            f"devices.mesh.model={mesh_cfg.model} with "
-                            f"pipe={mesh_cfg.pipe}: family "
-                            f"{model.definition.family!r} has no "
-                            "tp_layer_shuffle (manual TP inside pipeline "
-                            "stages needs block-aligned fused layouts)"
-                        )
-                    shuffle = lambda layer: hook(layer, mesh_cfg.model)
-                self._params_per_device: List[Any] = [
-                    prepare_pipelined_params(
-                        model.params, self.mesh, rules, layer_shuffle=shuffle
-                    )
-                ]
-            else:
-                if mesh_cfg.pipe > 1:
-                    raise DeviceError(
-                        f"devices.mesh.pipe={mesh_cfg.pipe} but model "
-                        f"family {model.definition.family!r} has no "
-                        f"pipeline_apply"
-                    )
-                self._pipelined = False
-                self._params_per_device = [
-                    shard_params(model.params, self.mesh, rules)
-                ]
             self._input_sharding = batch_sharding(self.mesh)
+            self._pipelined = (
+                mesh_cfg.pipe > 1
+                and model.definition.pipeline_apply is not None
+            )
+            if mesh_cfg.pipe > 1 and not self._pipelined:
+                raise DeviceError(
+                    f"devices.mesh.pipe={mesh_cfg.pipe} but model "
+                    f"family {model.definition.family!r} has no "
+                    f"pipeline_apply"
+                )
+            self._microbatches = mesh_cfg.microbatches
         else:
             self._pipelined = False
-            self._params_per_device = [
-                jax.device_put(model.params, dev) for dev in self.devices
-            ]
+        self._params_per_device: List[Any] = []
+        self._place(model)
 
         definition = model.definition
         compute_dtype = model.compute_dtype
@@ -159,6 +114,95 @@ class ModelEngine:
         self._jitted = jax.jit(_forward)
         self._compile_lock = threading.Lock()
         self._compiled: set = set()  # (device_index, bucket)
+
+    def _place(self, model: BuiltModel) -> None:
+        """Pack + place ``model.params`` onto the devices / mesh. Runs at
+        construction and again on hot reload (RepositoryModelLoad)."""
+        cfg = self.cfg
+        mesh_cfg = cfg.devices.mesh
+        if self.platform == "tpu" and mesh_cfg.size <= 1:
+            # Pallas fused kernels are single-device programs; in mesh
+            # mode GSPMD partitions the XLA dequant+dot path instead
+            from ..ops import nn
+            from ..ops.quant import pack_int4_tree
+            from ..utils.config import QuantMode
+
+            nn.set_use_pallas(True)
+            if model.quant is QuantMode.INT4:
+                # planar-pack int4 leaves for the Pallas kernel: HBM
+                # weight footprint drops 2x vs the int8 carrier
+                model.params = pack_int4_tree(model.params)
+
+        if self.mesh is not None:
+            from ..parallel.partition import partition_rules_for, shard_params
+
+            rules = partition_rules_for(model.definition.family)
+            if self._pipelined:
+                # pipeline parallelism: the layer stack shards over the
+                # 'pipe' axis as ONE stacked pytree; the forward is the
+                # GPipe shard_map program (parallel/pipeline.py) instead
+                # of plain GSPMD propagation
+                from ..parallel.pipeline import prepare_pipelined_params
+
+                shuffle = None
+                if mesh_cfg.model > 1:
+                    hook = model.definition.tp_layer_shuffle
+                    if hook is None:
+                        raise DeviceError(
+                            f"devices.mesh.model={mesh_cfg.model} with "
+                            f"pipe={mesh_cfg.pipe}: family "
+                            f"{model.definition.family!r} has no "
+                            "tp_layer_shuffle (manual TP inside pipeline "
+                            "stages needs block-aligned fused layouts)"
+                        )
+                    shuffle = lambda layer: hook(layer, mesh_cfg.model)
+                placed = [
+                    prepare_pipelined_params(
+                        model.params, self.mesh, rules, layer_shuffle=shuffle
+                    )
+                ]
+            else:
+                placed = [shard_params(model.params, self.mesh, rules)]
+        else:
+            placed = [jax.device_put(model.params, dev) for dev in self.devices]
+        # atomic swap: in-flight executions keep the old tree alive
+        self._params_per_device = placed
+
+    def reload(self, model: BuiltModel) -> None:
+        """Hot weight reload (RepositoryModelLoad): re-place a freshly
+        loaded param tree without touching the jit cache — params are jit
+        ARGUMENTS, so executables compiled for the old weights serve the
+        new ones as long as shapes/dtypes match (enforced here).
+
+        The reference has no counterpart (Repository RPCs are
+        UNIMPLEMENTED, inference_service_metadata.cpp:312-328; models are
+        immutable TorchScript loaded once, inference_runner.cpp:243-249).
+        """
+        import jax.tree_util as jtu
+
+        old_model = self.model
+        if model.quant is not old_model.quant:
+            raise DeviceError(
+                f"reload quantization {model.quant} != serving "
+                f"{old_model.quant}"
+            )
+        old_placed = self._params_per_device
+        old_spec = jtu.tree_map(
+            lambda a: (a.shape, str(a.dtype)), old_placed[0]
+        )
+        self._place(model)  # packs int4 leaves first when applicable
+        new_spec = jtu.tree_map(
+            lambda a: (a.shape, str(a.dtype)), self._params_per_device[0]
+        )
+        if old_spec != new_spec:
+            # restore serving state; a mismatched tree would silently
+            # force recompiles (or worse) on the next dispatch
+            self._params_per_device = old_placed
+            raise DeviceError(
+                "reloaded param tree structure/shapes/dtypes differ from "
+                "the serving tree"
+            )
+        self.model = model
 
     @property
     def pipelined(self) -> bool:

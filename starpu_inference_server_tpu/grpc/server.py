@@ -205,6 +205,11 @@ class InferenceServer:
             observability=self.observability,
             congestion_monitor=self.congestion,
             generation_engine=self.generation_engine,
+            # hot weight reload (RepositoryModelLoad) re-reads the model
+            # source and swaps the placed tree; the generation engine
+            # holds decode state against its params, so reload is
+            # load/unload-gating only there
+            reload_model=self._reload_model if self.runner is not None else None,
         )
         if self.runner is not None:
             self.servicer.batch_stats_source = self.runner.dispatcher
@@ -214,6 +219,14 @@ class InferenceServer:
             mrec.models_loaded.set(1)
             mrec.max_inflight.set(cfg.max_inflight_tasks)
         self._grpc_server: Optional[grpc.aio.Server] = None
+
+    # -- repository ----------------------------------------------------------
+
+    def _reload_model(self) -> None:
+        """RepositoryModelLoad hook: rebuild the model from its source
+        (fresh weight read) and hot-swap the engine's placed params."""
+        model = build_model(self.cfg.model, seed=self.cfg.seed)
+        self.engine.reload(model)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -330,10 +343,16 @@ class InferenceServer:
         self.observability.flush()
         self._run_trace_plots()
         if self.runner is not None:
+            from ..utils.perf_observer import global_perf_observer
+
+            perf = global_perf_observer()
             log.info(
-                "shutdown complete: completed=%d failed=%d",
+                "shutdown complete: completed=%d failed=%d "
+                "throughput_window=%.1f inf/s over %.1f s",
                 self.runner.dispatcher.completed_jobs,
                 self.runner.dispatcher.failed_jobs,
+                perf.throughput(),
+                perf.window_s(),
             )
         else:
             log.info(

@@ -96,15 +96,23 @@ class InferenceServicer:
         observability=None,
         congestion_monitor=None,
         generation_engine=None,
+        reload_model=None,
     ):
         self.cfg = cfg
         self.queue = queue
         self.observability = observability
         self.congestion = congestion_monitor
         self.generation_engine = generation_engine
+        # hot weight reload hook (RepositoryModelLoad); None = re-mark
+        # ready only
+        self.reload_model = reload_model
         self.stats = _ModelStats()
         self.batch_stats_source = None  # ResultDispatcher, when wired
         self.ready = threading.Event()
+        # model repository state: RepositoryModelUnload clears this and
+        # infers answer UNAVAILABLE until a RepositoryModelLoad
+        self.loaded = threading.Event()
+        self.loaded.set()
         self._log = get_logger()
 
     # -- liveness / metadata ----------------------------------------------
@@ -117,13 +125,21 @@ class InferenceServicer:
 
     async def ModelReady(self, request, context):
         known = not request.name or request.name == self.cfg.name
-        return pb.ModelReadyResponse(ready=known and self.ready.is_set())
+        return pb.ModelReadyResponse(
+            ready=known and self.ready.is_set() and self.loaded.is_set()
+        )
 
     async def ServerMetadata(self, request, context):
         return pb.ServerMetadataResponse(
             name=SERVER_NAME,
             version=__version__,
-            extensions=["timing", "statistics", "model_repository(unimplemented)"],
+            extensions=[
+                "timing",
+                "statistics",
+                "model_repository",
+                "trace_setting",
+                "log_settings",
+            ],
         )
 
     async def ModelMetadata(self, request, context):
@@ -200,6 +216,119 @@ class InferenceServicer:
                     ),
                 )
         return pb.ModelStatisticsResponse(model_stats=[stat])
+
+    # -- model repository ----------------------------------------------------
+    # The reference answers UNIMPLEMENTED on all Repository* RPCs
+    # (inference_service_metadata.cpp:312-328); here they are real: the
+    # single served model can be unloaded (infers answer UNAVAILABLE) and
+    # (re)loaded — a load re-reads weights from disk and hot-swaps the
+    # placed param tree when a reload hook is wired.
+
+    async def RepositoryIndex(self, request, context):
+        is_ready = self.loaded.is_set() and self.ready.is_set()
+        state = "READY" if is_ready else "UNAVAILABLE"
+        reason = "" if is_ready else (
+            "unloaded" if not self.loaded.is_set() else "starting"
+        )
+        resp = pb.RepositoryIndexResponse()
+        if not request.ready or is_ready:  # ready=true filters to ready models
+            resp.models.add(
+                name=self.cfg.name, version="1", state=state, reason=reason
+            )
+        return resp
+
+    async def RepositoryModelLoad(self, request, context):
+        if request.model_name and request.model_name != self.cfg.name:
+            await context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"unknown model {request.model_name!r}",
+            )
+        if self.reload_model is not None:
+            loop = asyncio.get_running_loop()
+            try:
+                await loop.run_in_executor(None, self.reload_model)
+            except Exception as exc:  # noqa: BLE001
+                self._log.error("model reload failed: %s", exc)
+                await context.abort(
+                    grpc.StatusCode.INTERNAL, f"model reload failed: {exc}"
+                )
+        self.loaded.set()
+        self._log.info("model %s loaded via repository RPC", self.cfg.name)
+        return pb.RepositoryModelLoadResponse()
+
+    async def RepositoryModelUnload(self, request, context):
+        if request.model_name and request.model_name != self.cfg.name:
+            await context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"unknown model {request.model_name!r}",
+            )
+        self.loaded.clear()
+        self._log.info("model %s unloaded via repository RPC", self.cfg.name)
+        return pb.RepositoryModelUnloadResponse()
+
+    # -- runtime settings ------------------------------------------------------
+    # Also UNIMPLEMENTED in the reference (inference_service_metadata.cpp:
+    # 293-400); implemented here against the live logger / trace logger.
+
+    async def LogSettings(self, request, context):
+        log = self._log
+        for key, val in request.settings.items():
+            if key != "verbosity":
+                await context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"unknown log setting {key!r} (supported: verbosity)",
+                )
+            raw = (
+                val.string_param
+                if val.WhichOneof("parameter_choice") == "string_param"
+                else val.uint32_param
+            )
+            try:
+                log.set_verbosity(raw)
+            except ValueError as exc:
+                await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
+        resp = pb.LogSettingsResponse()
+        resp.settings["verbosity"].uint32_param = int(log.verbosity)
+        resp.settings["verbosity_name"].string_param = log.verbosity.name
+        return resp
+
+    async def TraceSetting(self, request, context):
+        tracer = (
+            self.observability.tracer if self.observability is not None else None
+        )
+        if tracer is None:
+            await context.abort(
+                grpc.StatusCode.FAILED_PRECONDITION, "no trace logger wired"
+            )
+        enable = None
+        out_dir = None
+        for key, val in request.settings.items():
+            values = list(val.value)
+            if key == "trace_enabled":
+                enable = bool(values) and values[0].lower() in ("true", "1")
+            elif key == "trace_output":
+                out_dir = values[0] if values else None
+            else:
+                await context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"unknown trace setting {key!r} "
+                    "(supported: trace_enabled, trace_output)",
+                )
+        try:
+            if out_dir is not None and enable is None:
+                tracer.set_enabled(tracer.enabled, output_dir=out_dir)
+            elif enable is not None:
+                if not enable:
+                    tracer.flush()  # persist what was collected so far
+                tracer.set_enabled(enable, output_dir=out_dir)
+        except (ValueError, OSError) as exc:
+            await context.abort(grpc.StatusCode.FAILED_PRECONDITION, str(exc))
+        resp = pb.TraceSettingResponse()
+        resp.settings["trace_enabled"].value.append(
+            "true" if tracer.enabled else "false"
+        )
+        resp.settings["trace_output"].value.append(tracer.output_dir or "")
+        return resp
 
     # -- the hot path ------------------------------------------------------
 
@@ -335,6 +464,11 @@ class InferenceServicer:
                 grpc.StatusCode.UNIMPLEMENTED,
                 "ModelStreamInfer is only available for decoder models",
             )
+        if not self.loaded.is_set():
+            await context.abort(
+                grpc.StatusCode.UNAVAILABLE,
+                f"model {self.cfg.name!r} is unloaded",
+            )
         import numpy as np
 
         from ..serving.generation import GenerationRequest
@@ -399,6 +533,11 @@ class InferenceServicer:
         """reference: HandleModelInferAsyncImpl,
         inference_service_async.cpp:385-520."""
         server_receive = wall_ms()
+        if not self.loaded.is_set():
+            await context.abort(
+                grpc.StatusCode.UNAVAILABLE,
+                f"model {self.cfg.name!r} is unloaded",
+            )
         if self.generation_engine is not None:
             return await self._model_generate(request, context, server_receive)
         obs = self.observability

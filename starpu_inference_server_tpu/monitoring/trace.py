@@ -47,6 +47,20 @@ class BatchingTraceLogger:
         if enabled:
             os.makedirs(output_dir, exist_ok=True)
 
+    # -- runtime toggling (TraceSetting RPC) ---------------------------------
+
+    def set_enabled(self, enabled: bool, output_dir: Optional[str] = None) -> None:
+        """Toggle tracing at runtime (the TraceSetting RPC surface; the
+        reference leaves that RPC UNIMPLEMENTED and only configures
+        tracing at startup, batching_trace_logger.hpp:114+)."""
+        if output_dir:
+            self.output_dir = output_dir
+        if enabled and not self.output_dir:
+            raise ValueError("trace output directory not configured")
+        if enabled:
+            os.makedirs(self.output_dir, exist_ok=True)
+        self.enabled = enabled
+
     # -- warmup suppression ------------------------------------------------
 
     def set_warmup_suppressed(self, suppressed: bool) -> None:

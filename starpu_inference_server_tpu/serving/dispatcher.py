@@ -33,10 +33,14 @@ class ResultDispatcher:
         inflight: InflightTracker,
         on_prepared_drained: Optional[Callable[[], None]] = None,
         on_job_metrics: Optional[Callable[[InferenceJob], None]] = None,
+        perf_observer=None,
     ):
+        from ..utils.perf_observer import global_perf_observer
+
         self._inflight = inflight
         self._on_prepared_drained = on_prepared_drained
         self._on_job_metrics = on_job_metrics
+        self._perf = perf_observer if perf_observer is not None else global_perf_observer()
         self.completed_jobs = 0
         self.failed_jobs = 0
         self.cancelled_jobs = 0
@@ -67,6 +71,10 @@ class ResultDispatcher:
             logical = master.logical_jobs
             if error is None and not master.is_warmup:
                 size = master.effective_batch or master.batch_size()
+                # global throughput window, warmup excluded (reference:
+                # perf-observer record in record_job_metrics,
+                # result_dispatcher_component.cpp:407-456)
+                self._perf.record(size)
                 lb = master.latency_breakdown
                 with self._lock:
                     agg = self.batch_stats.setdefault(
