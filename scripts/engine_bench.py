@@ -37,9 +37,16 @@ def main() -> int:
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--overlap", action="store_true", default=False)
     p.add_argument("--no-overlap", dest="overlap", action="store_false")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="decode blocks kept in flight when --overlap")
     p.add_argument("--ab", action="store_true",
                    help="run overlap OFF then ON in one process (shared "
                         "compiled executables -> clean comparison)")
+    p.add_argument("--raw", action="store_true",
+                   help="also measure RAW decode-block throughput (the "
+                        "jitted _decode chained device-side, no host "
+                        "emit/snapshot work) — the ceiling the engine "
+                        "loop is judged against (VERDICT round-1 item 1)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (smoke runs)")
     p.add_argument("--vocab", type=int, default=0,
@@ -79,6 +86,60 @@ def main() -> int:
         for _ in range(args.requests)
     ]
 
+    def run_raw() -> dict:
+        """Raw ceiling: chain decode blocks through the device-resident
+        carry (cache, ids, progress) with every slot active and fetch one
+        scalar at the end — no snapshot/emit/host work. This is what the
+        engine loop's throughput is expressed as a fraction of."""
+        engine = GenerationEngine(
+            spec,
+            params,
+            dtype=jnp.bfloat16,
+            num_slots=args.slots,
+            max_len=args.max_len,
+            prefill_buckets=[args.prompt_len],
+            steps_per_sync=args.steps_per_sync,
+        )
+        cache = engine.cache
+        s = args.slots
+        ids = jnp.ones((s,), jnp.int32)
+        active = jnp.ones((s,), bool)
+        temps = jnp.zeros((s,), jnp.float32)
+        top_k = jnp.zeros((s,), jnp.int32)
+        seeds = jnp.zeros((s,), jnp.uint32)
+        prog = jnp.ones((s,), jnp.int32)
+        # occupy every slot at the benchmark's live length
+        cache = cache._replace(
+            lengths=jnp.full((s,), args.prompt_len, jnp.int32)
+        )
+        n_blocks = max(1, args.new_tokens // args.steps_per_sync)
+
+        def blocks(k):
+            nonlocal cache, ids, prog
+            for _ in range(k):
+                cache, tokens, ids, prog = engine._decode(
+                    engine.params, cache, ids, active, temps, top_k,
+                    seeds, prog,
+                )
+            return tokens
+        blocks(2)[0, 0].block_until_ready()  # compile + warm
+        np.asarray(blocks(1))                # fence (tunnel: fetch, not block)
+        t0 = time.perf_counter()
+        out = blocks(n_blocks)
+        np.asarray(out[-1, -1])              # one scalar fetch fences all
+        dt = time.perf_counter() - t0
+        total = n_blocks * args.steps_per_sync * s
+        return {
+            "metric": "raw_decode_tokens_per_sec",
+            "family": args.family,
+            "quant": args.quant,
+            "slots": args.slots,
+            "steps_per_sync": args.steps_per_sync,
+            "value": round(total / dt, 1),
+            "unit": "tokens/s",
+            "wall_s": round(dt, 2),
+        }
+
     def run_one(overlap: bool) -> dict:
         engine = GenerationEngine(
             spec,
@@ -89,6 +150,7 @@ def main() -> int:
             prefill_buckets=[args.prompt_len],
             steps_per_sync=args.steps_per_sync,
             decode_overlap=overlap,
+            pipeline_depth=args.pipeline_depth,
         )
         engine.start()
         # warmup: prime prefill + decode executables (remote compiles
@@ -125,14 +187,23 @@ def main() -> int:
             "wall_s": round(dt, 2),
         }
 
+    raw = run_raw() if args.raw else None
+    if raw is not None:
+        print(json.dumps(raw))
     if args.ab:
         off = run_one(False)
         on = run_one(True)
         on["vs_no_overlap"] = round(on["value"] / off["value"], 3)
+        if raw is not None:
+            off["vs_raw"] = round(off["value"] / raw["value"], 3)
+            on["vs_raw"] = round(on["value"] / raw["value"], 3)
         print(json.dumps(off))
         print(json.dumps(on))
     else:
-        print(json.dumps(run_one(args.overlap)))
+        res = run_one(args.overlap)
+        if raw is not None:
+            res["vs_raw"] = round(res["value"] / raw["value"], 3)
+        print(json.dumps(res))
     return 0
 
 

@@ -94,8 +94,8 @@ class ModelEngine:
             self._microbatches = mesh_cfg.microbatches
         else:
             self._pipelined = False
-        self._params_per_device: List[Any] = []
-        self._place(model)
+        self._params_per_device: List[Any] = self._place(model)
+        self._reload_lock = threading.Lock()
 
         definition = model.definition
         compute_dtype = model.compute_dtype
@@ -115,9 +115,12 @@ class ModelEngine:
         self._compile_lock = threading.Lock()
         self._compiled: set = set()  # (device_index, bucket)
 
-    def _place(self, model: BuiltModel) -> None:
-        """Pack + place ``model.params`` onto the devices / mesh. Runs at
-        construction and again on hot reload (RepositoryModelLoad)."""
+    def _place(self, model: BuiltModel) -> List[Any]:
+        """Pack + place ``model.params`` onto the devices / mesh and RETURN
+        the placed list (the caller publishes it — reload() validates the
+        spec first so in-flight execute() calls never see a mismatched
+        tree). Runs at construction and on hot reload
+        (RepositoryModelLoad)."""
         cfg = self.cfg
         mesh_cfg = cfg.devices.mesh
         if self.platform == "tpu" and mesh_cfg.size <= 1:
@@ -165,8 +168,7 @@ class ModelEngine:
                 placed = [shard_params(model.params, self.mesh, rules)]
         else:
             placed = [jax.device_put(model.params, dev) for dev in self.devices]
-        # atomic swap: in-flight executions keep the old tree alive
-        self._params_per_device = placed
+        return placed
 
     def reload(self, model: BuiltModel) -> None:
         """Hot weight reload (RepositoryModelLoad): re-place a freshly
@@ -180,29 +182,32 @@ class ModelEngine:
         """
         import jax.tree_util as jtu
 
-        old_model = self.model
-        if model.quant is not old_model.quant:
-            raise DeviceError(
-                f"reload quantization {model.quant} != serving "
-                f"{old_model.quant}"
+        with self._reload_lock:  # serialize concurrent RepositoryModelLoad
+            old_model = self.model
+            if model.quant is not old_model.quant:
+                raise DeviceError(
+                    f"reload quantization {model.quant} != serving "
+                    f"{old_model.quant}"
+                )
+            old_spec = jtu.tree_map(
+                lambda a: (a.shape, str(a.dtype)), self._params_per_device[0]
             )
-        old_placed = self._params_per_device
-        old_spec = jtu.tree_map(
-            lambda a: (a.shape, str(a.dtype)), old_placed[0]
-        )
-        self._place(model)  # packs int4 leaves first when applicable
-        new_spec = jtu.tree_map(
-            lambda a: (a.shape, str(a.dtype)), self._params_per_device[0]
-        )
-        if old_spec != new_spec:
-            # restore serving state; a mismatched tree would silently
-            # force recompiles (or worse) on the next dispatch
-            self._params_per_device = old_placed
-            raise DeviceError(
-                "reloaded param tree structure/shapes/dtypes differ from "
-                "the serving tree"
+            # build + validate the new placed tree LOCALLY before
+            # publishing: in-flight execute() calls must never observe a
+            # mismatched tree (a shape/dtype drift would silently force
+            # ~30-60s recompiles — or shape errors — on live traffic)
+            placed = self._place(model)  # packs int4 leaves when applicable
+            new_spec = jtu.tree_map(
+                lambda a: (a.shape, str(a.dtype)), placed[0]
             )
-        self.model = model
+            if old_spec != new_spec:
+                raise DeviceError(
+                    "reloaded param tree structure/shapes/dtypes differ "
+                    "from the serving tree"
+                )
+            # atomic publish: in-flight executions keep the old tree alive
+            self._params_per_device = placed
+            self.model = model
 
     @property
     def pipelined(self) -> bool:

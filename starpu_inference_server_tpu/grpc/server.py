@@ -189,6 +189,7 @@ class InferenceServer:
                 # state; the cost is one extra sync-block of context
                 # headroom per request
                 decode_overlap=bool(opts.get("decode_overlap", True)),
+                pipeline_depth=int(opts.get("decode_pipeline_depth", 2)),
                 metrics=getattr(self.observability, "metrics", None),
             )
         else:

@@ -252,6 +252,16 @@ class InferenceServicer:
                 await context.abort(
                     grpc.StatusCode.INTERNAL, f"model reload failed: {exc}"
                 )
+        elif self.loaded.is_set():
+            # generation servers hold decode state (KV slots) against the
+            # placed params, so no hot weight reload is wired — the RPC is
+            # load/unload GATING only. Make that visible: the client gets
+            # OK but must not assume fresh weights.
+            self._log.warn(
+                "RepositoryModelLoad on %s: no reload hook wired "
+                "(generation server) — gating-only, weights NOT re-read",
+                self.cfg.name,
+            )
         self.loaded.set()
         self._log.info("model %s loaded via repository RPC", self.cfg.name)
         return pb.RepositoryModelLoadResponse()
@@ -278,11 +288,17 @@ class InferenceServicer:
                     grpc.StatusCode.INVALID_ARGUMENT,
                     f"unknown log setting {key!r} (supported: verbosity)",
                 )
-            raw = (
-                val.string_param
-                if val.WhichOneof("parameter_choice") == "string_param"
-                else val.uint32_param
-            )
+            which = val.WhichOneof("parameter_choice")
+            if which == "string_param":
+                raw = val.string_param
+            elif which == "uint32_param":
+                raw = val.uint32_param
+            else:  # bool_param or unset would silently read as 0 (Silent)
+                await context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"verbosity takes string_param or uint32_param, got "
+                    f"{which or 'unset'}",
+                )
             try:
                 log.set_verbosity(raw)
             except ValueError as exc:

@@ -182,15 +182,22 @@ def test_statistics_accumulate(harness):
 
 
 def test_unimplemented_rpcs(harness):
+    """Shared-memory RPCs stay UNIMPLEMENTED (no CUDA/system shm on TPU).
+
+    Repository*/LogSettings/TraceSetting are implemented here (beyond the
+    reference, which leaves them UNIMPLEMENTED too:
+    inference_service_metadata.cpp:293-400) — see the dedicated tests below.
+    """
+
     async def go():
         channel = grpc.aio.insecure_channel(harness.target)
         rpc = channel.unary_unary(
-            "/inference.GRPCInferenceService/RepositoryIndex",
-            request_serializer=pb.RepositoryIndexRequest.SerializeToString,
-            response_deserializer=pb.RepositoryIndexResponse.FromString,
+            "/inference.GRPCInferenceService/SystemSharedMemoryStatus",
+            request_serializer=pb.SystemSharedMemoryStatusRequest.SerializeToString,
+            response_deserializer=pb.SystemSharedMemoryStatusResponse.FromString,
         )
         try:
-            await rpc(pb.RepositoryIndexRequest())
+            await rpc(pb.SystemSharedMemoryStatusRequest())
             return None
         except grpc.aio.AioRpcError as exc:
             return exc.code()
@@ -198,6 +205,47 @@ def test_unimplemented_rpcs(harness):
             await channel.close()
 
     assert run_async(go()) == grpc.StatusCode.UNIMPLEMENTED
+
+
+def test_repository_index_and_load_cycle(harness):
+    """RepositoryIndex reports READY; unload gates infers; load restores."""
+
+    async def go():
+        channel = grpc.aio.insecure_channel(harness.target)
+        index = channel.unary_unary(
+            "/inference.GRPCInferenceService/RepositoryIndex",
+            request_serializer=pb.RepositoryIndexRequest.SerializeToString,
+            response_deserializer=pb.RepositoryIndexResponse.FromString,
+        )
+        unload = channel.unary_unary(
+            "/inference.GRPCInferenceService/RepositoryModelUnload",
+            request_serializer=pb.RepositoryModelUnloadRequest.SerializeToString,
+            response_deserializer=pb.RepositoryModelUnloadResponse.FromString,
+        )
+        load = channel.unary_unary(
+            "/inference.GRPCInferenceService/RepositoryModelLoad",
+            request_serializer=pb.RepositoryModelLoadRequest.SerializeToString,
+            response_deserializer=pb.RepositoryModelLoadResponse.FromString,
+        )
+        try:
+            resp = await index(pb.RepositoryIndexRequest())
+            assert len(resp.models) == 1
+            assert resp.models[0].state == "READY"
+
+            await unload(pb.RepositoryModelUnloadRequest(model_name="add_one"))
+            resp = await index(pb.RepositoryIndexRequest())
+            assert resp.models[0].state == "UNAVAILABLE"
+            # ready=true filters out the unloaded model entirely
+            resp = await index(pb.RepositoryIndexRequest(ready=True))
+            assert len(resp.models) == 0
+
+            await load(pb.RepositoryModelLoadRequest(model_name="add_one"))
+            resp = await index(pb.RepositoryIndexRequest(ready=True))
+            assert len(resp.models) == 1 and resp.models[0].state == "READY"
+        finally:
+            await channel.close()
+
+    run_async(go())
 
 
 def test_invalid_input_rejected(harness):
