@@ -190,6 +190,11 @@ class InferenceServer:
                 # headroom per request
                 decode_overlap=bool(opts.get("decode_overlap", True)),
                 pipeline_depth=int(opts.get("decode_pipeline_depth", 2)),
+                # paged KV cache: kv_page_size > 0 switches the dense
+                # [S, max_len] cache for a page pool + per-slot table
+                # (models/paged_decoder.py); kv_pool_pages sizes the pool
+                kv_page_size=int(opts.get("kv_page_size", 0)),
+                kv_pool_pages=int(opts.get("kv_pool_pages", 0)),
                 metrics=getattr(self.observability, "metrics", None),
             )
         else:

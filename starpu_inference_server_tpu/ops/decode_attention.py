@@ -173,6 +173,182 @@ def decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# paged decode: the KV pool is [N_pages, page, Hkv, D] and a
+# scalar-prefetched page table [S, max_pages] redirects each grid step's
+# fetch — the same online-softmax body as the dense kernel, with the
+# BlockSpec index maps reading THROUGH the table (models/paged_decoder.py).
+# HBM traffic is exactly the slot's live pages; dead/unallocated logical
+# chunks clamp to the last live page (no extra DMA).
+# ---------------------------------------------------------------------------
+
+
+def _paged_kernel(len_ref, tbl_ref, *rest, chunk, n_chunks, rep):
+    # the table is consumed by the index maps only; the body masks by
+    # LOGICAL position exactly like the dense kernel
+    del tbl_ref
+    _kernel(len_ref, *rest, chunk=chunk, n_chunks=n_chunks, rep=rep)
+
+
+def _paged_window_kernel(len_ref, tbl_ref, *rest, chunk, n_chunks, rep):
+    del tbl_ref
+    _window_kernel(len_ref, *rest, chunk=chunk, n_chunks=n_chunks, rep=rep)
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "out_dtype"))
+def paged_decode_attention(
+    q: jnp.ndarray,        # [S, Hq, D] (bf16/f32)
+    k_pool: jnp.ndarray,   # int8 [N, page, Hkv, D]
+    v_pool: jnp.ndarray,   # int8 [N, page, Hkv, D]
+    k_scale: jnp.ndarray,  # f32 [N, page, Hkv]
+    v_scale: jnp.ndarray,  # f32 [N, page, Hkv]
+    table: jnp.ndarray,    # int32 [S, max_pages]
+    lengths: jnp.ndarray,  # int32 [S] — attend to positions <= lengths[s]
+    rep: int,
+    out_dtype=None,
+):
+    s, hq, d = q.shape
+    page = k_pool.shape[1]
+    hkv = k_pool.shape[2]
+    assert hq == hkv * rep, (q.shape, k_pool.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    n_chunks = table.shape[1]
+
+    def kv_idx(i, c, lens, tbl):
+        # logical chunk clamps to the slot's last live chunk, then the
+        # table maps it to a pool page (same page -> no DMA re-issue)
+        return tbl[i, jnp.minimum(c, lens[i] // page)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, page, hkv, d),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv, d),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _paged_kernel, chunk=page, n_chunks=n_chunks, rep=rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hq, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * n_chunks * page * d,
+            bytes_accessed=2 * s * n_chunks * page * hkv * d + s * hq * d * 4,
+            transcendentals=s * hq * n_chunks * page,
+        ),
+        interpret=_INTERPRET,
+    )(
+        lengths.astype(jnp.int32), table.astype(jnp.int32),
+        q, k_pool, v_pool, k_scale, v_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "out_dtype"))
+def paged_window_decode_attention(
+    q: jnp.ndarray,        # [S, W, Hq, D]: row w sits at lengths[s] + w
+    k_pool: jnp.ndarray,   # int8 [N, page, Hkv, D] (window rows pre-written)
+    v_pool: jnp.ndarray,   # int8 [N, page, Hkv, D]
+    k_scale: jnp.ndarray,  # f32 [N, page, Hkv]
+    v_scale: jnp.ndarray,  # f32 [N, page, Hkv]
+    table: jnp.ndarray,    # int32 [S, max_pages]
+    lengths: jnp.ndarray,  # int32 [S]
+    rep: int,
+    out_dtype=None,
+):
+    """Paged fused verify attention (speculative decoding over the paged
+    cache): the window kernel body with table-indirect fetches."""
+    s, w, hq, d = q.shape
+    page = k_pool.shape[1]
+    hkv = k_pool.shape[2]
+    assert hq == hkv * rep, (q.shape, k_pool.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    n_chunks = table.shape[1]
+    r = w * rep
+
+    qv = (
+        q.reshape(s, w, hkv, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, hkv, r, d)
+    )
+
+    def kv_idx(i, c, lens, tbl):
+        return tbl[i, jnp.minimum(c, (lens[i] + w - 1) // page)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, page, hkv, d),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv, d),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page, hkv),
+                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_window_kernel, chunk=page, n_chunks=n_chunks, rep=rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hkv, r, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * w * n_chunks * page * d,
+            bytes_accessed=2 * s * n_chunks * page * hkv * d + s * w * hq * d * 4,
+            transcendentals=s * hq * w * n_chunks * page,
+        ),
+        interpret=_INTERPRET,
+    )(
+        lengths.astype(jnp.int32), table.astype(jnp.int32),
+        qv, k_pool, v_pool, k_scale, v_scale,
+    )
+    return (
+        out.reshape(s, hkv, w, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, w, hq, d)
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed decode: W queries per slot (speculative-decoding verify)
 # ---------------------------------------------------------------------------
 

@@ -169,6 +169,8 @@ class GenerationEngine:
         prefix_cache_min: int = 16,
         decode_overlap: bool = False,
         pipeline_depth: int = 2,
+        kv_page_size: int = 0,
+        kv_pool_pages: int = 0,
         metrics=None,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
@@ -284,9 +286,70 @@ class GenerationEngine:
                 f"prefill_chunk ({self.prefill_chunk}) must divide "
                 f"max_len ({max_len}) so every chunk fits the cache row"
             )
-        self.cache: KVCache = self._place_cache(
-            init_cache(spec, num_slots, max_len)
-        )
+        # paged KV cache (kv_page_size > 0): a global pool of fixed-size
+        # pages + per-slot page table replaces the dense [S, max_len]
+        # preallocation — HBM is sized by kv_pool_pages, requests reserve
+        # only ceil((prompt+max_new+headroom)/page) pages, and slot count
+        # scales with demand (models/paged_decoder.py; VERDICT r1 item 3).
+        self.kv_page_size = max(0, int(kv_page_size))
+        if self.kv_page_size:
+            from ..models.paged_decoder import init_paged_cache
+
+            if mesh is not None:
+                raise ValueError(
+                    "paged KV cache does not compose with mesh decoding "
+                    "yet (slot-sharded dense cache only)"
+                )
+            if prefix_cache:
+                raise ValueError(
+                    "paged KV cache does not compose with prefix_cache "
+                    "yet (row copies assume the dense layout)"
+                )
+            if max_len % self.kv_page_size:
+                raise ValueError(
+                    f"kv_page_size ({self.kv_page_size}) must divide "
+                    f"max_len ({max_len})"
+                )
+            if self.prefill_chunk and self.prefill_chunk % self.kv_page_size:
+                raise ValueError(
+                    f"prefill_chunk ({self.prefill_chunk}) must be a "
+                    f"multiple of kv_page_size ({self.kv_page_size}) so "
+                    "chunks cover whole pages"
+                )
+            # default pool: half the dense footprint (the headline win is
+            # 2x the slots at equal HBM; callers size it explicitly for
+            # real deployments)
+            self.kv_pool_pages = int(kv_pool_pages) or (
+                1 + num_slots * (max_len // self.kv_page_size) // 2
+            )
+            self.cache = jax.device_put(
+                init_paged_cache(
+                    spec, num_slots, max_len,
+                    num_pages=self.kv_pool_pages,
+                    page_size=self.kv_page_size,
+                )
+            )
+            # host-side allocator: free pool page ids (page 0 reserved as
+            # the garbage page) + per-slot grants. Immediate free at
+            # release is safe: every program (prefill, table install,
+            # decode block) chains through the donated cache value, so a
+            # re-granted page's overwrite executes on device strictly
+            # after any in-flight block that still reads/writes it under
+            # the old table snapshot.
+            self._free_pages: List[int] = list(
+                range(1, self.kv_pool_pages)
+            )
+            self._slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+            from ..models.paged_decoder import set_table_row
+
+            self._set_table_row = jax.jit(
+                set_table_row, donate_argnums=(0,)
+            )
+        else:
+            self.kv_pool_pages = 0
+            self.cache: KVCache = self._place_cache(
+                init_cache(spec, num_slots, max_len)
+            )
 
         # prefix caching: released slots keep their KV rows resident, so
         # a new prompt sharing a prefix with a slot's (completed) prompt
@@ -381,6 +444,21 @@ class GenerationEngine:
                 dtype=self.dtype,
                 num_microgroups=self._microgroups,
             )
+        elif self.kv_page_size:
+            from ..models.paged_decoder import (
+                paged_decode_step,
+                paged_prefill,
+                paged_verify_step,
+            )
+
+            self._prefill = jax.jit(
+                partial(paged_prefill, spec, dtype=self.dtype),
+                donate_argnums=(1,),
+            )
+            self._step_fn = partial(paged_decode_step, spec, dtype=self.dtype)
+            self._verify_fn = partial(
+                paged_verify_step, spec, dtype=self.dtype
+            )
         else:
             self._prefill = jax.jit(
                 partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
@@ -390,10 +468,18 @@ class GenerationEngine:
         self._decode = jax.jit(
             self._decode_and_sample, donate_argnums=(1,)
         )
-        self._prefill_chunk_fn = jax.jit(
-            partial(prefill_chunk_step, spec, dtype=self.dtype),
-            donate_argnums=(1,),
-        )
+        if self.kv_page_size:
+            from ..models.paged_decoder import paged_prefill_chunk
+
+            self._prefill_chunk_fn = jax.jit(
+                partial(paged_prefill_chunk, spec, dtype=self.dtype),
+                donate_argnums=(1,),
+            )
+        else:
+            self._prefill_chunk_fn = jax.jit(
+                partial(prefill_chunk_step, spec, dtype=self.dtype),
+                donate_argnums=(1,),
+            )
         self._prefilling: Optional[_PrefillProgress] = None
         # async admission state: slots whose prefill is dispatched but
         # not yet landed, the FIFO of landings awaiting their fetch, and
@@ -747,6 +833,12 @@ class GenerationEngine:
                 request.finished_at = now_s()
                 request.done.set()
                 continue
+            if self.kv_page_size and not self._grant_pages(free, request):
+                # pool exhausted: requeue at the FRONT (FIFO order holds)
+                # and stop admitting until a release frees pages
+                with self._lock:
+                    self._pending.appendleft(request)
+                return admitted
             admitted = True
             self._reserved.add(free)  # until the prefill lands (or aborts)
             prompt = np.asarray(request.prompt_ids, np.int32)
@@ -795,10 +887,54 @@ class GenerationEngine:
                 # keeps serving; anything else still aborts the engine.
                 self._prefilling = None
                 self._reserved.discard(free)
+                self._free_slot_pages(free)
                 request.error = exc
                 request.done.set()
                 if not isinstance(exc, ValueError):
                     raise
+
+    def _grant_pages(self, slot: int, request: GenerationRequest) -> bool:
+        """Paged mode: reserve pool pages sized to THIS request
+        (prompt + max_new + sync headroom), install the slot's table row
+        (dispatched before the prefill that reads it — ordering via the
+        cache chain). Returns False when the pool is exhausted."""
+        page = self.kv_page_size
+        per_block = (
+            self.speculate_k + 1 if self._draft_params is not None else 1
+        )
+        headroom = self.pipeline_depth * self.steps_per_sync * per_block - 1
+        need_tokens = (
+            len(request.prompt_ids) + request.max_new_tokens + headroom
+        )
+        need = -(-need_tokens // page)
+        if len(self._free_pages) < need:
+            if self._metrics is not None and hasattr(
+                self._metrics, "kv_pool_exhausted_total"
+            ):
+                self._metrics.kv_pool_exhausted_total.inc()
+            return False
+        pages = [self._free_pages.pop() for _ in range(need)]
+        self._slot_pages[slot] = pages
+        row = np.zeros((self.max_len // page,), np.int32)
+        row[: len(pages)] = pages
+        self.cache = self._set_table_row(
+            self.cache, jnp.int32(slot), jnp.asarray(row)
+        )
+        if self._metrics is not None and hasattr(
+            self._metrics, "kv_pool_free_pages"
+        ):
+            self._metrics.kv_pool_free_pages.set(len(self._free_pages))
+        return True
+
+    def _free_slot_pages(self, slot: int) -> None:
+        if not self.kv_page_size or not self._slot_pages[slot]:
+            return
+        self._free_pages.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        if self._metrics is not None and hasattr(
+            self._metrics, "kv_pool_free_pages"
+        ):
+            self._metrics.kv_pool_free_pages.set(len(self._free_pages))
 
     def _find_prefix(self, prompt, free, stale_prompt):
         """Longest usable cached prefix of ``prompt``: scan the retained
@@ -831,6 +967,7 @@ class GenerationEngine:
             # the slot was reserved but never activated
             self._prefilling = None
             self._reserved.discard(pf.slot)
+            self._free_slot_pages(pf.slot)
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[pf.slot].set(0)
             )
@@ -921,6 +1058,7 @@ class GenerationEngine:
             if landing.request.cancel_flag.is_set():
                 # cancelled between dispatch and landing: the slot was
                 # reserved but never activated — zero its rows and free
+                self._free_slot_pages(landing.slot)
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[landing.slot].set(0)
                 )
@@ -1148,6 +1286,10 @@ class GenerationEngine:
                 self._metrics.generation_tokens_per_request.observe(
                     state.emitted
                 )
+        # paged mode: return the slot's pages to the pool (safe now —
+        # any in-flight block's accesses execute before a re-grant's
+        # overwrite, see the allocator comment)
+        self._free_slot_pages(slot)
         # zero the slot length so the next prefill starts clean
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[slot].set(0)

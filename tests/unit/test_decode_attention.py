@@ -170,3 +170,117 @@ def test_verify_step_matches_with_kernel_enabled():
     finally:
         nn.set_use_pallas(False)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# -- paged kernels (page-table-indirect fetches) ----------------------------
+
+def _page_layout(k, v, ks, vs, page, rng):
+    """Scatter a dense [S, T, ...] cache into a shuffled page pool +
+    table (page 0 reserved as garbage)."""
+    s, t = k.shape[:2]
+    mp = t // page
+    n = s * mp + 1
+    perm = rng.permutation(np.arange(1, n))
+    table = perm.reshape(s, mp).astype(np.int32)
+    kp = np.zeros((n, page) + k.shape[2:], k.dtype)
+    vp = np.zeros_like(kp)
+    ksp = np.zeros((n, page) + ks.shape[2:], ks.dtype)
+    vsp = np.zeros_like(ksp)
+    for i in range(s):
+        for j in range(mp):
+            pid = table[i, j]
+            kp[pid] = k[i, j * page:(j + 1) * page]
+            vp[pid] = v[i, j * page:(j + 1) * page]
+            ksp[pid] = ks[i, j * page:(j + 1) * page]
+            vsp[pid] = vs[i, j * page:(j + 1) * page]
+    return kp, vp, ksp, vsp, table
+
+
+def test_paged_decode_attention_matches_dense():
+    q, k, v, ks, vs, lengths = make_case(s=3, t=256, seed=11)
+    rng = np.random.default_rng(12)
+    kp, vp, ksp, vsp, table = _page_layout(k, v, ks, vs, 128, rng)
+    got = np.asarray(da.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(ksp), jnp.asarray(vsp), jnp.asarray(table),
+        jnp.asarray(lengths), rep=2,
+    ))
+    ref = reference(q, k, v, ks, vs, lengths, rep=2)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_paged_window_decode_attention_matches_dense():
+    rng = np.random.default_rng(13)
+    s, w, t, hkv, rep, d = 2, 4, 256, 2, 2, 64
+    hq = hkv * rep
+    q = rng.standard_normal((s, w, hq, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    lengths = np.asarray([5, 200], np.int32)
+    kp, vp, ksp, vsp, table = _page_layout(k, v, ks, vs, 128, rng)
+
+    got = np.asarray(da.paged_window_decode_attention(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(ksp),
+        jnp.asarray(vsp), jnp.asarray(table), jnp.asarray(lengths),
+        rep=rep, out_dtype=jnp.float32,
+    ))
+    want = np.asarray(da.window_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(ks),
+        jnp.asarray(vs), jnp.asarray(lengths), rep=rep,
+        out_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_paged_decode_step_fused_matches_fallback():
+    """models/paged_decoder.paged_decode_step: identical logits with the
+    fused paged kernel (interpret) vs the gather fallback."""
+    from starpu_inference_server_tpu.models.paged_decoder import (
+        init_paged_cache,
+        paged_decode_step,
+        paged_prefill,
+        set_table_row,
+    )
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.ops import nn
+
+    spec = get_spec("llama-tiny", {
+        "layers": 2, "hidden": 256, "q_heads": 4, "kv_heads": 2,
+        "intermediate": 96, "vocab": 64,
+    })
+    assert spec.head_dim == 64
+    params = init_params(spec, np.random.default_rng(8))
+    rng = np.random.default_rng(9)
+
+    def run():
+        cache = init_paged_cache(spec, 2, 256, num_pages=5, page_size=128)
+        cache = set_table_row(cache, jnp.int32(0), jnp.asarray([2, 4], jnp.int32))
+        cache = set_table_row(cache, jnp.int32(1), jnp.asarray([3, 1], jnp.int32))
+        for slot, length in ((0, 6), (1, 3)):
+            prompt = np.zeros((8,), np.int32)
+            prompt[:length] = rng.integers(0, 64, (length,))
+            cache, _ = paged_prefill(
+                spec, params, cache, jnp.asarray(prompt), jnp.int32(length),
+                jnp.int32(slot), jnp.float32,
+            )
+        ids = jnp.asarray(rng.integers(0, 64, (2,)), jnp.int32)
+        active = jnp.asarray([True, True])
+        _, logits = paged_decode_step(
+            spec, params, cache, ids, active, jnp.float32
+        )
+        return np.asarray(logits)
+
+    assert not nn.use_pallas()
+    want = run()
+    rng = np.random.default_rng(9)
+    nn.set_use_pallas(True)
+    try:
+        got = run()
+    finally:
+        nn.set_use_pallas(False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
