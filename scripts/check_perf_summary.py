@@ -48,6 +48,15 @@ def main() -> int:
     if handled + rejected != sent:
         fail(f"handled({handled}) + rejected({rejected}) != sent({sent})")
 
+    validation = summary.get("validation")
+    if validation is not None:
+        failures = int(validation.get("failures", 0))
+        if failures:
+            fail(
+                f"response validation: {failures} mismatches "
+                f"({validation.get('first_mismatch', '')})"
+            )
+
     throughput = float(summary.get("throughput_rps", 0.0))
     if throughput < args.min_throughput_rps:
         fail(f"throughput {throughput:.2f} < min {args.min_throughput_rps}")

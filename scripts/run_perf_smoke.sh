@@ -24,7 +24,8 @@ python -m starpu_inference_server_tpu.clients.client \
   --input input:3x224x224:FP32 \
   --schedule "$SCHEDULE" \
   --ready-timeout-s "${READY_TIMEOUT_S:-900}" \
-  --summary-json "$SUMMARY"
+  --summary-json "$SUMMARY" \
+  --validate
 
 kill -INT $SERVER_PID
 wait $SERVER_PID || true

@@ -103,11 +103,31 @@ class InferenceClient:
         batch: int = 1,
         seed: int = 7,
         max_message_bytes: int = 256 * 1024 * 1024,
+        validate: bool = False,
+        expected_fn=None,
+        rtol: float = 2e-2,
+        atol: float = 2e-2,
     ):
+        """``validate=True`` checks every response's bytes, not just its
+        latency (reference: the C++ client verifies each response against
+        locally computed expected outputs and the load loop fails on
+        mismatch — src/grpc/client/inference_client.cpp). Expected
+        outputs come from ``expected_fn(inputs)->outputs`` when given
+        (analytic models), otherwise from a low-load priming pass per
+        pool input (self-consistency: catches batch-slicing corruption,
+        stale staging buffers, and nondeterminism under load — the
+        failure modes a latency-only perf run would silently serve)."""
         self.target = target
         self.model_name = model_name
         self.specs = list(specs)
         self.batch = batch
+        self.validate = bool(validate)
+        self.expected_fn = expected_fn
+        self.rtol, self.atol = rtol, atol
+        self.expected: Dict[int, Dict[str, np.ndarray]] = {}
+        self.validated = 0
+        self.validation_failures = 0
+        self.first_mismatch: Optional[str] = None
         options = [
             ("grpc.max_receive_message_length", max_message_bytes),
             ("grpc.max_send_message_length", max_message_bytes),
@@ -153,6 +173,61 @@ class InferenceClient:
             await asyncio.sleep(0.2)
         raise TimeoutError(f"server at {self.target} not ready in {timeout_s}s")
 
+    @staticmethod
+    def parse_outputs(resp) -> Dict[str, np.ndarray]:
+        """Decode a ModelInferResponse's raw output tensors."""
+        from ..utils.dtypes import numpy_dtype
+
+        out = {}
+        for i, t in enumerate(resp.outputs):
+            arr = np.frombuffer(
+                resp.raw_output_contents[i], numpy_dtype(t.datatype)
+            ).reshape(tuple(t.shape))
+            out[t.name] = arr
+        return out
+
+    async def prime_expected(self) -> None:
+        """Record the expected outputs for every pool input: analytic
+        when ``expected_fn`` is set, else one uncontended server pass per
+        input (self-consistency oracle)."""
+        for input_id in range(INPUT_POOL_SIZE):
+            inputs = self.input_pool[input_id]
+            if self.expected_fn is not None:
+                self.expected[input_id] = self.expected_fn(inputs)
+            else:
+                resp = await self._infer(
+                    self._build_request(input_id, f"prime-{input_id}")
+                )
+                self.expected[input_id] = self.parse_outputs(resp)
+
+    def _check_response(self, input_id: int, resp) -> None:
+        want = self.expected.get(input_id % INPUT_POOL_SIZE)
+        if want is None:
+            return
+        self.validated += 1
+        got = self.parse_outputs(resp)
+        for name, ref in want.items():
+            arr = got.get(name)
+            ok = (
+                arr is not None
+                and arr.shape == ref.shape
+                and np.allclose(
+                    arr.astype(np.float64), ref.astype(np.float64),
+                    rtol=self.rtol, atol=self.atol,
+                )
+            )
+            if not ok:
+                self.validation_failures += 1
+                if self.first_mismatch is None:
+                    detail = (
+                        "missing/shape" if arr is None or arr.shape != ref.shape
+                        else f"maxdiff={np.abs(arr - ref).max():.3e}"
+                    )
+                    self.first_mismatch = (
+                        f"{resp.id}: output {name!r} mismatch ({detail})"
+                    )
+                return
+
     def _build_request(self, input_id: int, request_id: str) -> _pb.ModelInferRequest:
         req = _pb.ModelInferRequest(model_name=self.model_name, id=request_id)
         data = self.input_pool[input_id % INPUT_POOL_SIZE]
@@ -179,6 +254,8 @@ class InferenceClient:
                 self.errors += 1
             return
         t1 = wall_ms()
+        if self.validate:
+            self._check_response(input_id, resp)
         phases = {key: getattr(resp, field) for key, field in PHASE_FIELDS}
         self.samples.append(
             LatencySample(
@@ -241,7 +318,7 @@ class InferenceClient:
         }
         for key, _field in PHASE_FIELDS:
             latency[key] = summarize([s.phases[key] for s in self.samples])
-        return {
+        out = {
             "requests": {
                 "sent": self.sent,
                 "handled": self.handled,
@@ -252,6 +329,14 @@ class InferenceClient:
             "elapsed_s": elapsed_s,
             "latency_ms": latency,
         }
+        if self.validate:
+            out["validation"] = {
+                "checked": self.validated,
+                "failures": self.validation_failures,
+            }
+            if self.first_mismatch:
+                out["validation"]["first_mismatch"] = self.first_mismatch
+        return out
 
     async def close(self) -> None:
         await self._channel.close()
@@ -401,10 +486,25 @@ async def _amain(args) -> Dict:
         await gen.close()
         return gen.summary(elapsed)
     specs = [parse_input_arg(a) for a in args.input]
+    # analytic validation oracles for the synthetic serving models; real
+    # models fall back to the priming-pass self-consistency oracle
+    expected_fn = None
+    if args.validate and args.model == "add_one":
+        expected_fn = lambda inputs: {  # noqa: E731
+            "output": next(iter(inputs.values())) + 1.0
+        }
+    elif args.validate and args.model == "identity":
+        expected_fn = lambda inputs: {  # noqa: E731
+            "output": next(iter(inputs.values()))
+        }
     client = InferenceClient(
-        args.target, args.model, specs, batch=args.batch, seed=args.seed
+        args.target, args.model, specs, batch=args.batch, seed=args.seed,
+        validate=args.validate, expected_fn=expected_fn,
+        rtol=args.validate_rtol, atol=args.validate_atol,
     )
     await client.wait_ready(timeout_s=args.ready_timeout_s)
+    if args.validate:
+        await client.prime_expected()
     if args.schedule:
         elapsed = await client.run_schedule(load_schedule(args.schedule))
     else:
@@ -428,6 +528,15 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--ready-timeout-s", type=float, default=300.0)
     parser.add_argument("--summary-json", help="write summary JSON here")
+    parser.add_argument("--validate", action="store_true",
+                        help="check every response's bytes against "
+                             "expected outputs (analytic for add_one/"
+                             "identity, priming-pass oracle otherwise); "
+                             "nonzero exit on any mismatch")
+    # defaults absorb bf16 staging/compute precision (~4e-3 relative);
+    # slicing/corruption bugs produce diffs orders of magnitude larger
+    parser.add_argument("--validate-rtol", type=float, default=2e-2)
+    parser.add_argument("--validate-atol", type=float, default=2e-2)
     # decoder generation load mode (net-new; reference has no decoders)
     parser.add_argument("--generate", type=int, default=0,
                         help="max_new_tokens (> 0 switches to generation mode)")
@@ -449,6 +558,11 @@ def main(argv=None) -> int:
     if args.summary_json:
         with open(args.summary_json, "w") as fh:
             fh.write(text)
+    failures = summary.get("validation", {}).get("failures", 0)
+    if failures:
+        print(f"[client] VALIDATION FAILED: {failures} mismatched "
+              "responses", file=__import__("sys").stderr)
+        return 1
     return 0
 
 

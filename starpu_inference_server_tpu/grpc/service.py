@@ -33,6 +33,7 @@ from ..utils.exceptions import (
     InputValidationError,
     QueueClosedError,
     QueueFullError,
+    TensorError,
     UnsupportedDtypeError,
 )
 from ..utils.logger import get_logger
@@ -419,7 +420,7 @@ class InferenceServicer:
                 request_id=request.id or "",
             )
             self.generation_engine.submit(gen)
-        except (InputValidationError, ValueError) as exc:
+        except (TensorError, ValueError) as exc:
             if obs is not None:
                 obs.metrics.requests_by_status.labels("INVALID_ARGUMENT").inc()
             await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
@@ -510,7 +511,7 @@ class InferenceServicer:
                     on_token=on_token,
                 )
                 self.generation_engine.submit(gen)
-            except (InputValidationError, ValueError) as exc:
+            except (TensorError, ValueError) as exc:
                 yield pb.ModelStreamInferResponse(error_message=str(exc))
                 continue
 
@@ -572,7 +573,7 @@ class InferenceServicer:
         t0 = now_s()
         try:
             inputs = validate_and_convert_inputs(self.cfg, request)
-        except (InputValidationError, UnsupportedDtypeError) as exc:
+        except TensorError as exc:
             if obs is not None:
                 obs.metrics.requests_by_status.labels("INVALID_ARGUMENT").inc()
             await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))

@@ -325,3 +325,36 @@ def test_health_service(harness):
         await channel.close()
 
     run_async(go())
+
+
+def test_client_response_validation(harness):
+    """--validate: every response's bytes check out against the analytic
+    oracle; a wrong oracle trips the failure counter (the load client
+    must fail on wrong bytes, not just slow ones — reference:
+    inference_client.cpp expected-output verification)."""
+
+    async def go(expected_fn):
+        specs = [TensorSpec("input", (8,), "FP32")]
+        client = InferenceClient(
+            harness.target, "add_one", specs,
+            validate=True, expected_fn=expected_fn,
+        )
+        await client.wait_ready()
+        await client.prime_expected()
+        elapsed = await client.run_fixed(count=10, delay_us=200)
+        summary = client.summary(elapsed)
+        await client.close()
+        return summary
+
+    good = run_async(go(lambda inputs: {"output": inputs["input"] + 1.0}))
+    assert good["validation"]["checked"] == 10
+    assert good["validation"]["failures"] == 0
+
+    bad = run_async(go(lambda inputs: {"output": inputs["input"] + 2.0}))
+    assert bad["validation"]["failures"] > 0
+    assert "mismatch" in bad["validation"]["first_mismatch"]
+
+    # no oracle: priming-pass self-consistency also passes
+    auto = run_async(go(None))
+    assert auto["validation"]["checked"] == 10
+    assert auto["validation"]["failures"] == 0
