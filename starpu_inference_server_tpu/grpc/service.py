@@ -34,7 +34,6 @@ from ..utils.exceptions import (
     QueueClosedError,
     QueueFullError,
     TensorError,
-    UnsupportedDtypeError,
 )
 from ..utils.logger import get_logger
 from . import kserve_v2_pb2 as pb

@@ -13,7 +13,6 @@ FFN(GELU) -> Add&LN.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import jax.numpy as jnp

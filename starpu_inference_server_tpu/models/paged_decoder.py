@@ -44,7 +44,6 @@ from .decoder import (
     _mlp_block,
     _project_qkv,
     _quantize_kv,
-    _use_fused_decode_attention,
     rms_norm,
     rope,
 )

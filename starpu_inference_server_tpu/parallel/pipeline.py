@@ -25,7 +25,6 @@ Bubble fraction is (S-1)/(M+S-1): pick num_microbatches >= 4*stages for
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

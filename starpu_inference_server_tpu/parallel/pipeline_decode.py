@@ -50,7 +50,6 @@ slot-data-sharding belongs to GSPMD mesh mode (no pipe) instead.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

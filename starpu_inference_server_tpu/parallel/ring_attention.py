@@ -25,7 +25,6 @@ like parallel/stage_body.py).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ never merged.
 from __future__ import annotations
 
 import threading
-from collections import deque
 from typing import Callable, List, Optional
 
 from ..core.job import InferenceJob

@@ -25,7 +25,6 @@ from typing import Callable, Dict, Optional
 from ..core.engine import ModelEngine
 from ..core.job import InferenceJob
 from ..core.slot_pool import SlotPool, SlotReleaseGuard
-from ..utils.clock import now_s
 from ..utils.config import RuntimeConfig, SchedulerPolicy
 from ..utils.logger import get_logger
 

@@ -1,13 +1,11 @@
 """Continuous-batching generation engine integration tests."""
 
-import threading
 
 import numpy as np
 import pytest
 
 from starpu_inference_server_tpu.models.decoder import (
     decode_step,
-    forward_logits,
     get_spec,
     init_cache,
     init_params,

@@ -11,7 +11,7 @@ from starpu_inference_server_tpu.models import build_model
 from starpu_inference_server_tpu.serving.queue import InferenceQueue
 from starpu_inference_server_tpu.serving.runner import TaskRunner
 from starpu_inference_server_tpu.utils.config import parse_config
-from tests.integration.test_pipeline import Collector, push_jobs
+from tests.integration.test_pipeline import Collector
 
 
 def mesh_cfg(data=2, model=4):

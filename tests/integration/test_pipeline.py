@@ -4,10 +4,8 @@ set (reference: tests/integration/integration_inference_runner.cpp —
 inference through actual codelets with real StarPU CPU workers)."""
 
 import threading
-import time
 
 import numpy as np
-import pytest
 
 from starpu_inference_server_tpu.core.engine import ModelEngine
 from starpu_inference_server_tpu.core.job import InferenceJob

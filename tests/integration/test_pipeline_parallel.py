@@ -2,7 +2,6 @@
 mesh axis): generic layer pipeline and the pipelined decoder forward
 must match sequential execution bitwise-close on the virtual CPU mesh."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -2,7 +2,6 @@
 causal attention and the sequence-sharded decoder forward must match the
 single-device math."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

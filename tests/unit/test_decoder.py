@@ -1,14 +1,12 @@
 """Decoder + KV-cache correctness: incremental decode with the INT8
 cache must reproduce full teacher-forcing argmax decoding."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from starpu_inference_server_tpu.models import build_model
 from starpu_inference_server_tpu.models.decoder import (
-    DecoderSpec,
     decode_step,
     forward_logits,
     get_spec,

@@ -9,7 +9,6 @@ from starpu_inference_server_tpu.ops import pallas_kernels as pk
 from starpu_inference_server_tpu.ops.quant import (
     pack_int4_planar,
     quantize_per_channel,
-    unpack_int4_planar,
 )
 
 

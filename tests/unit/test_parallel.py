@@ -3,7 +3,6 @@ TP partition rules, sharded forward correctness vs single-device
 (the TPU analogue of the reference's simulated-topology tests,
 SURVEY.md section 4.7)."""
 
-import jax
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P

@@ -1,7 +1,6 @@
 """TimingInfo breakdown + trace logger + metrics recorder unit tests."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -9,7 +9,6 @@ import pytest
 
 from starpu_inference_server_tpu.ops import nn
 from starpu_inference_server_tpu.ops.quant import (
-    maybe_quantize_tree,
     quantize_activations,
     quantize_per_channel,
 )
