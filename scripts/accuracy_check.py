@@ -36,18 +36,135 @@ from starpu_inference_server_tpu.utils.input_generator import (  # noqa: E402
 )
 
 
+def run_golden(args) -> int:
+    """Golden-fixture gate (VERDICT round-1 item 4): rebuild the model
+    bit-exactly from the fixture's recorded seed, (1) verify the FP32
+    outputs still match the recording — model-code drift fails here —
+    then (2) quantize the same weights and enforce the BASELINE deltas
+    against the RECORDED reference at real hidden sizes. See
+    scripts/make_golden_fixtures.py for the fixture contract."""
+    from starpu_inference_server_tpu.models import build_model
+    from starpu_inference_server_tpu.utils.config import (
+        ModelSettings,
+        QuantMode,
+    )
+    from starpu_inference_server_tpu.utils.input_generator import (
+        generate_inputs,
+    )
+
+    with np.load(args.golden, allow_pickle=False) as fz:
+        meta = json.loads(str(fz["meta"]))
+        recorded = {k: fz[k] for k in fz.files if k != "meta"}
+
+    fp32 = build_model(
+        ModelSettings(family=meta["family"], compute_dtype="FP32",
+                      options=meta["options"]),
+        seed=meta["seed"],
+    )
+    rng = np.random.default_rng(meta["input_seed"])
+    inputs = generate_inputs(
+        fp32.definition.input_specs, meta["batch"], rng
+    )
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+
+    report = {"fixture": args.golden, "family": meta["family"],
+              "quant": args.quant}
+    ok = True
+
+    # 1. FP32 reproduction: the committed recording must still be what
+    # this code computes (rtol absorbs BLAS reassociation across hosts)
+    ref_out = fp32.apply(inputs)
+    for key, rec in recorded.items():
+        if key.startswith("out_"):
+            got = np.asarray(ref_out[key[4:]], np.float32)
+        elif key.startswith("argmax_"):
+            got = np.asarray(ref_out[key[7:]]).argmax(-1).astype(np.int32)
+        elif key.startswith("last_"):
+            got = np.asarray(ref_out[key[5:]], np.float32)[:, -1]
+        else:
+            continue
+        if key.startswith("argmax_"):
+            drift = float((got != rec).mean())
+            report["fp32_token_drift"] = drift
+            if drift > 0.005:
+                report["fail"] = f"FP32 greedy tokens drifted ({drift:.3%})"
+                ok = False
+        else:
+            rel = np.abs(got - rec) / (np.abs(rec).mean() + 1e-9)
+            report[f"fp32_drift_{key}"] = float(rel.mean())
+            if rel.mean() > 1e-4:
+                report["fail"] = f"FP32 output {key} drifted"
+                ok = False
+    if not ok:
+        report["pass"] = False
+        print(json.dumps(report, indent=2))
+        return 1
+
+    # 2. quantized-vs-recorded gate
+    quant = build_model(
+        ModelSettings(family=meta["family"], compute_dtype="FP32",
+                      quantization=QuantMode(args.quant),
+                      options=meta["options"]),
+        seed=meta["seed"],
+    )
+    if args.quant == "w8a8":
+        from starpu_inference_server_tpu.ops import nn as _nn
+
+        _nn.set_w8a8(True)
+    try:
+        q_out = quant.apply(inputs)
+    finally:
+        if args.quant == "w8a8":
+            from starpu_inference_server_tpu.ops import nn as _nn
+
+            _nn.set_w8a8(False)
+
+    for key, rec in recorded.items():
+        if key.startswith("out_") and rec.ndim == 2:
+            q_logits = np.asarray(q_out[key[4:]])
+            agreement = float((rec.argmax(-1) == q_logits.argmax(-1)).mean())
+            report["top1_agreement"] = agreement
+            if agreement < args.min_top1_agreement:
+                ok = False
+        elif key.startswith("out_"):
+            q_h = np.asarray(q_out[key[4:]])
+            rel = np.abs(q_h - rec) / (np.abs(rec).mean() + 1e-9)
+            report["hidden_rel_err_mean"] = float(rel.mean())
+            if rel.mean() > args.max_hidden_rel_err:
+                ok = False
+        elif key.startswith("argmax_"):
+            q_tok = np.asarray(q_out[key[7:]]).argmax(-1).astype(np.int32)
+            agreement = float((q_tok == rec).mean())
+            report["greedy_token_agreement"] = agreement
+            if agreement < args.min_token_agreement:
+                ok = False
+
+    report["pass"] = ok
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--family", required=True)
+    parser.add_argument("--family")
     parser.add_argument("--params", default="random")
     parser.add_argument("--quant", default="int8", choices=["int8", "int4", "w8a8"])
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--min-top1-agreement", type=float, default=0.995)
+    parser.add_argument("--min-token-agreement", type=float, default=0.95)
     parser.add_argument("--max-hidden-rel-err", type=float, default=0.05)
     parser.add_argument("--options", default="{}",
                         help="JSON model options")
+    parser.add_argument("--golden",
+                        help="golden fixture npz (ci/golden/*.npz): gate "
+                             "against recorded FP32 outputs at real "
+                             "hidden sizes instead of a live FP32 run")
     args = parser.parse_args()
+    if args.golden:
+        return run_golden(args)
+    if not args.family:
+        parser.error("--family is required without --golden")
 
     options = json.loads(args.options)
     fp32 = build_model(

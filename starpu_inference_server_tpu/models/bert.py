@@ -73,6 +73,9 @@ def _layer_apply(p, x, mask, heads, dtype):
 
 def _build_bert(variant: str, options) -> ModelDefinition:
     hidden, layers, heads, intermediate = _VARIANTS[variant]
+    # depth override (real-width reduced-depth builds for CI accuracy
+    # fixtures; widths stay the variant's real hidden/head dims)
+    layers = int(options.get("num_layers", layers))
     seq_len = int(options.get("seq_len", DEFAULT_SEQ_LEN))
     vocab = int(options.get("vocab_size", VOCAB_SIZE))
 

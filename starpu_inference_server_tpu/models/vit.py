@@ -70,6 +70,8 @@ def _encoder_block_apply(p, x, heads, dtype):
 
 def _build_vit(variant: str, options) -> ModelDefinition:
     dim, depth, heads, mlp_dim = _VARIANTS[variant]
+    # depth override (real-width reduced-depth CI accuracy fixtures)
+    depth = int(options.get("num_layers", depth))
     image = int(options.get("image_size", 224))
     num_classes = int(options.get("num_classes", NUM_CLASSES))
     num_patches = (image // PATCH) ** 2
