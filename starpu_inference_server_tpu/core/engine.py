@@ -62,7 +62,7 @@ class ModelEngine:
         # under GSPMD mesh sharding alike
         from ..ops import nn as _nn
 
-        _nn.set_w8a8(model.quant is _QM.W8A8)
+        _nn.set_w8a8(model.quant in (_QM.W8A8, _QM.W4A8))
 
         # Placement: mesh of size 1 -> one param replica per device
         # (reference: clone_model_to_gpus); mesh > 1 -> ONE logical
@@ -131,8 +131,8 @@ class ModelEngine:
             from ..utils.config import QuantMode
 
             nn.set_use_pallas(True)
-            if model.quant is QuantMode.INT4:
-                # planar-pack int4 leaves for the Pallas kernel: HBM
+            if model.quant in (QuantMode.INT4, QuantMode.W4A8):
+                # pairwise-pack int4 leaves for the Pallas kernel: HBM
                 # weight footprint drops 2x vs the int8 carrier
                 model.params = pack_int4_tree(model.params)
 

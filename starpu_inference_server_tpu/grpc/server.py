@@ -157,6 +157,7 @@ class InferenceServer:
                     QuantMode.INT8: 8,
                     QuantMode.INT4: 4,
                     QuantMode.W8A8: 8,
+                    QuantMode.W4A8: 4,
                 }[cfg.model.quantization]
                 draft_params = maybe_quantize_tree(draft_params, bits)
             # pipelined mesh mode: hand the ModelEngine's already

@@ -105,7 +105,7 @@ def build_model(settings: ModelSettings, seed: int = 0) -> BuiltModel:
     else:
         params = load_params(settings.params)
     bits = {QuantMode.NONE: None, QuantMode.INT8: 8, QuantMode.INT4: 4,
-            QuantMode.W8A8: 8}[
+            QuantMode.W8A8: 8, QuantMode.W4A8: 4}[
         settings.quantization
     ]
     params = maybe_quantize_tree(params, bits)

@@ -22,7 +22,7 @@ from .quant import (
     dequantize,
     is_packed_int4_leaf,
     is_quantized_leaf,
-    unpack_int4_planar,
+    unpack_int4,
 )
 
 # Toggled by the engine when running on real TPU; tests exercise both.
@@ -58,7 +58,7 @@ def w8a8() -> bool:
 def resolve_weight(w, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize a (possibly quantized/packed) weight at compute dtype."""
     if is_packed_int4_leaf(w):
-        return dequantize(unpack_int4_planar(w["w_p4"]), w["scale"], dtype=dtype)
+        return dequantize(unpack_int4(w["w_p4"]), w["scale"], dtype=dtype)
     if is_quantized_leaf(w):
         return dequantize(w["w_q"], w["scale"], dtype=dtype)
     return w.astype(dtype)
@@ -78,11 +78,38 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     # Pallas fused dequant-matmul pays off in the memory-bound regime
     # (few rows, big weights — decode steps); at large M XLA's fused
     # dequant+dot is already at the MXU roofline.
-    if is_packed_int4_leaf(w) and _USE_PALLAS:
+    if is_packed_int4_leaf(w) and _USE_PALLAS and _W8A8:
+        # W4A8: per-token int8 activations x packed-int4 weights on the
+        # s8 x s8 MXU path (QuantMode.W4A8 — BASELINE config 5 at
+        # encoder/prefill M, where the MXU rate doubles; at decode M the
+        # kernel is weight-bandwidth-bound either way)
+        from .pallas_kernels import int4_matmul_w4a8
+        from .quant import quantize_activations
+
+        x2 = x.reshape(rows, x.shape[-1])
+        x_q, sx = quantize_activations(x2)
+        y = int4_matmul_w4a8(x_q, sx, w["w_p4"], w["scale"])
+        y = y.reshape(*x.shape[:-1], -1)
+    elif is_packed_int4_leaf(w) and _USE_PALLAS:
         from .pallas_kernels import int4_matmul
 
         x2 = x.reshape(rows, x.shape[-1])
         y = int4_matmul(x2.astype(dtype), w["w_p4"], w["scale"])
+        y = y.reshape(*x.shape[:-1], -1)
+    elif is_packed_int4_leaf(w) and _W8A8:
+        # W4A8 without Pallas (CPU tests / mesh programs): unpack to the
+        # int8 carrier and run the same s8 x s8 contraction in XLA
+        from .quant import quantize_activations
+
+        x2 = x.reshape(rows, x.shape[-1])
+        x_q, sx = quantize_activations(x2)
+        y = jax.lax.dot_general(
+            x_q,
+            unpack_int4(w["w_p4"]),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * sx * w["scale"].reshape(1, -1)
         y = y.reshape(*x.shape[:-1], -1)
     elif is_quantized_leaf(w) and _USE_PALLAS and rows <= 64:
         # int8 carrier; also correct for unpacked int4 values in [-7,7]

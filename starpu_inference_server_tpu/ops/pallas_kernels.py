@@ -91,38 +91,58 @@ def _matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _int4_matmul_kernel(xa_ref, xb_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
-    """Planar int4 layout: byte i of a [K/2, N] packed array holds
-    w[i] (low nibble) and w[i + K/2] (high nibble), so unpacking needs no
-    row interleave — y = x[:, :K/2] @ lo + x[:, K/2:] @ hi, with the two
-    contiguous x halves delivered as separate tiles."""
+def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    """Pairwise int4 layout (ops.quant.pack_int4): byte row a of the
+    [K/2, N] packed array holds w[2a] (low nibble) and w[2a+1] (high).
+    That is exactly ``pltpu.bitcast(packed, int4)``'s row order, so the
+    unpack is Mosaic's NATIVE int4 -> bf16 conversion — no int32 shift
+    dance in the VPU (the previous planar unpack peaked at ~415 GB/s
+    packed; the native conversion clears the int8 kernel's wall-clock)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic has no 8-bit shift lowering; unpack in int32. Sign-extend
-    # each nibble with the branch-free ((u & 15) ^ 8) - 8 identity: the
-    # XOR/SUB pair replaces a compare+select and measures ~1.4x faster
-    # end-to-end on v5e at decode shapes (M=16, the unpack dominates).
-    packed = w_ref[:].astype(jnp.int32)
-    lo = (((packed & 0x0F) ^ 8) - 8).astype(jnp.bfloat16)
-    hi = ((((packed >> 4) & 0x0F) ^ 8) - 8).astype(jnp.bfloat16)
-
-    dims = (((1,), (0,)), ((), ()))
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4)  # [2*tk2, tn] int4
     acc_ref[:] += jax.lax.dot_general(
-        xa_ref[:].astype(jnp.bfloat16), lo, dims,
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] += jax.lax.dot_general(
-        xb_ref[:].astype(jnp.bfloat16), hi, dims,
+        x_ref[:].astype(jnp.bfloat16),
+        w4.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _int4_w4a8_kernel(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    """W4A8: int8 activations (per-row scales) x pairwise-packed int4
+    weights on the s8 x s8 -> s32 MXU path (2x the bf16 rate on
+    v5e-class chips — the large-M prefill/encoder regime; at decode M
+    the kernel is HBM-bound either way)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4).astype(jnp.int8)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:],
+        w4,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (
+            acc_ref[:]
+            * sx_ref[:].astype(jnp.float32)
+            * s_ref[:].astype(jnp.float32)
+        ).astype(o_ref.dtype)
 
 
 def _pad2(x, m_to, n_to):
@@ -193,28 +213,9 @@ def int8_matmul(
     return out[:m, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k"))
-def int4_matmul(
-    x: jnp.ndarray,
-    w_packed: jnp.ndarray,
-    scale: jnp.ndarray,
-    out_dtype=jnp.float32,
-    tile_m: int = 256,
-    tile_n: int = 1024,
-    tile_k: int = 2048,
-):
-    """y = (x[M,K] @ unpack_planar(w_packed[K//2,N])) * scale[1,N].
-
-    ``w_packed`` uses the PLANAR int4 layout (ops.quant.pack_int4_planar):
-    byte i holds w[i] in the low nibble and w[i + K/2] in the high
-    nibble. HBM sees a 4x smaller weight footprint than bf16 and the
-    kernel unpacks without any row interleave.
-    """
-    m, k = x.shape
-    khalf, n = w_packed.shape
-    assert k == khalf * 2, (x.shape, w_packed.shape)
-    scale = scale.reshape(1, n)
-
+def _int4_tiles(m, khalf, n, tile_m, tile_n, tile_k):
+    """Shared tile selection for the int4 kernels: prefer divisor tiles
+    (no in-jit weight pad copies) under the int4 VMEM budget."""
     tm = min(tile_m, _round_up(m, 8))
     tn = _divisor_tile(n, tile_n, 8192)
     tk2 = _divisor_tile(khalf, tile_k // 2, tile_k // 2) if tn else 0
@@ -225,11 +226,37 @@ def int4_matmul(
     if not tn or not tk2:
         tn = min(tile_n, _round_up(n, 128))
         tk2 = min(tile_k // 2, _round_up(khalf, 128))
+    return tm, tn, tk2
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k"))
+def int4_matmul(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.float32,
+    tile_m: int = 256,
+    tile_n: int = 1024,
+    tile_k: int = 2048,
+):
+    """y = (x[M,K] @ unpack(w_packed[K//2,N])) * scale[1,N].
+
+    ``w_packed`` uses the PAIRWISE int4 layout (ops.quant.pack_int4):
+    byte row a holds w[2a] (low nibble) and w[2a+1] (high) — the order
+    ``pltpu.bitcast`` produces, so the kernel unpacks with Mosaic's
+    native int4 conversion. HBM sees a 4x smaller weight footprint than
+    bf16 (2x vs the int8 carrier).
+    """
+    m, k = x.shape
+    khalf, n = w_packed.shape
+    assert k == khalf * 2, (x.shape, w_packed.shape)
+    scale = scale.reshape(1, n)
+
+    tm, tn, tk2 = _int4_tiles(m, khalf, n, tile_m, tile_n, tile_k)
     mp, np_ = _round_up(m, tm), _round_up(n, tn)
     kp2 = _round_up(khalf, tk2)
 
-    xa = _pad2(x[:, :khalf], mp, kp2)
-    xb = _pad2(x[:, khalf:], mp, kp2)
+    xp = _pad2(x, mp, kp2 * 2)
     wp = _pad2(w_packed, kp2, np_)
     sp = _pad2(scale, 1, np_)
     n_k = kp2 // tk2
@@ -238,8 +265,9 @@ def int4_matmul(
         functools.partial(_int4_matmul_kernel, n_k=n_k),
         grid=(mp // tm, np_ // tn, n_k),
         in_specs=[
-            pl.BlockSpec((tm, tk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tm, tk2 * 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((tk2, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -254,5 +282,61 @@ def int4_matmul(
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(xa, xb, wp, sp)
+    )(xp, wp, sp)
+    return out[:m, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k"))
+def int4_matmul_w4a8(
+    x_q: jnp.ndarray,
+    x_scale: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.float32,
+    tile_m: int = 256,
+    tile_n: int = 1024,
+    tile_k: int = 2048,
+):
+    """W4A8: y = (x_q[M,K] @ unpack(w_packed[K//2,N])) * x_scale[M,1]
+    * scale[1,N] with the s8 x s8 -> s32 MXU contraction. ``x_q`` comes
+    from ops.quant.quantize_activations (per-row symmetric int8)."""
+    m, k = x_q.shape
+    khalf, n = w_packed.shape
+    assert k == khalf * 2, (x_q.shape, w_packed.shape)
+    scale = scale.reshape(1, n)
+    x_scale = x_scale.reshape(m, 1)
+
+    tm, tn, tk2 = _int4_tiles(m, khalf, n, tile_m, tile_n, tile_k)
+    mp, np_ = _round_up(m, tm), _round_up(n, tn)
+    kp2 = _round_up(khalf, tk2)
+
+    xp = _pad2(x_q, mp, kp2 * 2)
+    sxp = _pad2(x_scale, mp, 1)
+    wp = _pad2(w_packed, kp2, np_)
+    sp = _pad2(scale, 1, np_)
+    n_k = kp2 // tk2
+
+    out = pl.pallas_call(
+        functools.partial(_int4_w4a8_kernel, n_k=n_k),
+        grid=(mp // tm, np_ // tn, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk2 * 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk2, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp2 * 2,
+            bytes_accessed=mp * kp2 * 2 + kp2 * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xp, sxp, wp, sp)
     return out[:m, :n]

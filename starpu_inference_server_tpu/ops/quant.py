@@ -61,35 +61,16 @@ def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
     """Pack an int4-valued int8 array pairwise along the first axis into
-    one uint8 per two values (low nibble = even row, high = odd row)."""
+    one uint8 per two values (low nibble = even row, high = odd row).
+
+    This is the row order ``pltpu.bitcast(packed, int4)`` reconstructs,
+    so the Pallas int4 kernels unpack it with Mosaic's NATIVE int4
+    conversion (ops/pallas_kernels.py:_int4_matmul_kernel)."""
     if w_q.shape[0] % 2 != 0:
         raise ValueError("int4 packing requires an even leading dim")
     lo = (w_q[0::2] & 0x0F).astype(jnp.uint8)
     hi = (w_q[1::2] & 0x0F).astype(jnp.uint8)
     return lo | (hi << 4)
-
-
-def pack_int4_planar(w_q: jnp.ndarray) -> jnp.ndarray:
-    """Planar packing for the Pallas int4 kernel: byte i holds w[i]
-    (low nibble) and w[i + K/2] (high nibble) — no row interleave, so
-    the kernel computes x[:, :K/2] @ lo + x[:, K/2:] @ hi with
-    contiguous activation halves."""
-    if w_q.shape[0] % 2 != 0:
-        raise ValueError("int4 packing requires an even leading dim")
-    half = w_q.shape[0] // 2
-    lo = (w_q[:half] & 0x0F).astype(jnp.uint8)
-    hi = (w_q[half:] & 0x0F).astype(jnp.uint8)
-    return lo | (hi << 4)
-
-
-def unpack_int4_planar(packed: jnp.ndarray) -> jnp.ndarray:
-    def sext(nib):
-        nib = nib.astype(jnp.int8)
-        return jnp.where(nib >= 8, nib - 16, nib)
-
-    lo = sext(packed & 0x0F)
-    hi = sext((packed >> 4) & 0x0F)
-    return jnp.concatenate([lo, hi], axis=0)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
@@ -184,11 +165,11 @@ def is_packed_int4_leaf(node) -> bool:
 
 
 def pack_int4_tree(params):
-    """Convert int4 quantized leaves (int8 carrier) to the planar packed
-    HBM format the Pallas int4 kernel reads: {'w_p4': uint8 [K/2, N],
-    'scale': ...}. Leaves with odd K stay unpacked. Applied at engine
-    build time when the Pallas path is active — HBM weight footprint
-    drops 2x vs the int8 carrier (4x vs bf16).
+    """Convert int4 quantized leaves (int8 carrier) to the pairwise
+    packed HBM format the Pallas int4 kernel reads: {'w_p4': uint8
+    [K/2, N], 'scale': ...}. Leaves with odd K stay unpacked. Applied at
+    engine build time when the Pallas path is active — HBM weight
+    footprint drops 2x vs the int8 carrier (4x vs bf16).
     """
 
     def rec(node):
@@ -196,7 +177,7 @@ def pack_int4_tree(params):
             if node.get("bits") == 4 and node["w_q"].ndim == 2 and \
                     node["w_q"].shape[0] % 2 == 0:
                 return {
-                    "w_p4": pack_int4_planar(node["w_q"]),
+                    "w_p4": pack_int4(node["w_q"]),
                     "scale": node["scale"],
                     "bits": 4,
                 }

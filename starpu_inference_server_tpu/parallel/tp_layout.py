@@ -15,11 +15,12 @@ permutation at placement: reorder the fused output columns so device
 
 Row-parallel weights (attn.o, mlp.down) need no dense/int8 shuffle —
 their input rows are ordered by head / intermediate index, so the
-contiguous row shard already matches the local activations. Planar-
-packed INT4 weights are the exception: packing interleaves row ``i``
-with row ``i + K/2`` into one byte (ops/quant.py:58-69), so a row shard
-of the packed array is NOT the planar pack of a row shard. ``
-repack_int4_rows`` regroups the packing per shard.
+contiguous row shard already matches the local activations. PAIRWISE-
+packed INT4 weights (ops.quant.pack_int4: byte row a = original rows
+2a, 2a+1) keep that property as long as each row shard is even-sized:
+a contiguous packed-row shard is exactly the pack of the corresponding
+original row shard. ``repack_int4_rows`` validates the divisibility and
+passes the node through.
 
 No reference counterpart (the reference is single-node with no TP;
 SURVEY.md section 2.9) — this is TPU-native extension machinery.
@@ -35,8 +36,6 @@ import numpy as np
 from ..ops.quant import (
     is_packed_int4_leaf,
     is_quantized_leaf,
-    pack_int4_planar,
-    unpack_int4_planar,
 )
 
 
@@ -83,24 +82,21 @@ def permute_out_columns(wnode, perm: np.ndarray):
 
 
 def repack_int4_rows(wnode, tp: int):
-    """Regroup a planar-packed INT4 weight so each contiguous packed row
-    shard is the planar pack of the corresponding ORIGINAL row shard
-    (required before row-parallel sharding of ``w_p4`` under shard_map).
-    Dense / int8 nodes pass through unchanged."""
+    """Validate that a PAIRWISE-packed INT4 weight row-shards cleanly:
+    byte row a of ``w_p4`` holds original rows 2a and 2a+1, so a
+    contiguous packed-row shard is already the pack of the original row
+    shard whenever each shard has an even number of original rows. With
+    that guaranteed, the node passes through unchanged (required before
+    row-parallel sharding of ``w_p4`` under shard_map). Dense / int8
+    nodes pass through unchanged."""
     if not is_packed_int4_leaf(wnode):
         return wnode
-    w_q = unpack_int4_planar(wnode["w_p4"])  # [K, N] int8 carrier
-    k = w_q.shape[0]
+    k = wnode["w_p4"].shape[0] * 2
     if k % tp != 0 or (k // tp) % 2 != 0:
         raise ValueError(
             f"int4 row repack needs K ({k}) divisible by 2*tp ({2 * tp})"
         )
-    local = k // tp
-    packed = jnp.concatenate(
-        [pack_int4_planar(w_q[d * local : (d + 1) * local]) for d in range(tp)],
-        axis=0,
-    )
-    return {"w_p4": packed, "scale": wnode["scale"], "bits": wnode["bits"]}
+    return wnode
 
 
 def shuffle_decoder_layer_for_tp(spec, layer, tp: int):

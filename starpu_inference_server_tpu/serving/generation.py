@@ -17,6 +17,7 @@ requirement. Design:
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import threading
 from collections import deque
@@ -146,6 +147,9 @@ class _PrefillLanding:
     slot: int
     logits: object          # jax.Array [V], last-position prefill logits
     seq: int                # dispatch sequence number of the prefill
+    # logits fetch started at dispatch time (its wire RTT overlaps the
+    # decode blocks in flight); None on paths that fetch synchronously
+    fetch: object = None
 
 
 class GenerationEngine:
@@ -489,6 +493,16 @@ class GenerationEngine:
         self._dispatch_seq = 0
         self._consumed_seq = 0
 
+        # Token fetches run on a small thread pool so their wire round
+        # trips PIPELINE: a synchronous per-block np.asarray costs a
+        # full host<->device RTT (~25 ms over the axon tunnel) that
+        # serializes the engine to one block per RTT no matter how many
+        # blocks are queued on device; submitting the fetch at dispatch
+        # time overlaps the RTTs of all in-flight blocks (measured
+        # 25 ms -> ~4 ms per block).
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="gen-fetch"
+        )
         self._slots: List[Optional[_SlotState]] = [None] * num_slots
         self._pending: deque = deque()
         self._lock = threading.Lock()
@@ -747,6 +761,11 @@ class GenerationEngine:
         return req.result(timeout=timeout)
 
     def start(self) -> None:
+        if self._fetch_pool._shutdown:  # restarted after stop()
+            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="gen-fetch"
+            )
+        self._stop.clear()
         self._thread = threading.Thread(
             target=self._loop, name="generation-engine", daemon=True
         )
@@ -758,6 +777,7 @@ class GenerationEngine:
             self._work.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30.0)
+        self._fetch_pool.shutdown(wait=True)
 
     def active_count(self) -> int:
         with self._lock:
@@ -1070,7 +1090,8 @@ class GenerationEngine:
                 landing.request.done.set()
             else:
                 self._finish_prefill(
-                    landing.slot, landing.request, np.asarray(landing.logits)
+                    landing.slot, landing.request,
+                    self._fetch_result(landing.fetch, landing.logits),
                 )
             landed = True
         return landed
@@ -1171,13 +1192,31 @@ class GenerationEngine:
                 progress,
             )
             return {"packed": packed, "nxt": nxt, "prog": prog,
-                    "snap": snap, "seq": self._dispatch_seq}
+                    "snap": snap, "seq": self._dispatch_seq,
+                    "fetch": self._fetch_pool.submit(np.asarray, packed)}
         self.cache, block, nxt, prog = self._decode(
             self.params, self.cache, ids, active, temps, top_k, seeds,
             progress,
         )
         return {"block": block, "nxt": nxt, "prog": prog, "snap": snap,
-                "seq": self._dispatch_seq}
+                "seq": self._dispatch_seq,
+                "fetch": self._fetch_pool.submit(np.asarray, block)}
+
+    def _fetch_result(self, fut, arr) -> np.ndarray:
+        """Resolve an async token/logits fetch. The axon tunnel defers
+        dispatch until the DISPATCHING thread next touches the device, so
+        a pooled fetch can starve forever if this (loop) thread merely
+        blocks on the future without issuing more device work (observed:
+        idle-engine prefill landings hang). Waiting with a timeout and
+        falling back to a synchronous fetch here both flushes the queue
+        and returns the data; the pooled fetch then completes alongside
+        at no extra cost."""
+        if fut is None:
+            return np.asarray(arr)
+        try:
+            return fut.result(timeout=2.0)
+        except concurrent.futures.TimeoutError:
+            return np.asarray(arr)
 
     def _consume_block(self, rec) -> None:
         """Fetch a dispatched block's tokens (the sync point) and commit
@@ -1188,7 +1227,8 @@ class GenerationEngine:
         # (in-order device execution): earlier prefill landings are ready
         self._consumed_seq = max(self._consumed_seq, rec["seq"])
         if "packed" in rec:
-            packed = np.asarray(rec["packed"])  # [blocks, S, K+2]: one fetch
+            # [blocks, S, K+2]: one fetch, started at dispatch time
+            packed = self._fetch_result(rec["fetch"], rec["packed"])
             tokens = packed[:, :, :-1]          # [blocks, S, K+1]
             counts = packed[:, :, -1]           # [blocks, S]
             n_greedy = int((active & (snap["temps"] == 0)).sum())
@@ -1203,7 +1243,7 @@ class GenerationEngine:
                 )
         else:
             # [steps, S] -> [steps, S, 1] with one committed token per block
-            tokens = np.asarray(rec["block"])[:, :, None]
+            tokens = self._fetch_result(rec["fetch"], rec["block"])[:, :, None]
             counts = np.ones(tokens.shape[:2], np.int32)
         self.steps += tokens.shape[0]
 

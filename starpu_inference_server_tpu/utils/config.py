@@ -57,6 +57,9 @@ class QuantMode(enum.Enum):
     # INT8 weights + dynamic per-token INT8 activations: dense layers run
     # the s8 x s8 -> s32 MXU path (2x bf16 rate on v5e-class chips)
     W8A8 = "w8a8"
+    # INT4 weights + dynamic per-token INT8 activations: the same s8xs8
+    # MXU contraction reading quarter-width weights (BASELINE config 5)
+    W4A8 = "w4a8"
 
 
 class SchedulerPolicy(enum.Enum):

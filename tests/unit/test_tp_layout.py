@@ -1,7 +1,7 @@
 """Block-aligned TP layouts (parallel/tp_layout.py): the fused-projection
 column shuffle must make contiguous 1/tp slices exactly [q_d|k_d|v_d]
-(resp. [gate_d|up_d]), commute with quantization, and int4 row repacking
-must make packed row shards equal per-shard planar packs."""
+(resp. [gate_d|up_d]), commute with quantization, and pairwise-packed
+int4 row shards must equal per-shard packs."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -10,9 +10,9 @@ import pytest
 from starpu_inference_server_tpu.models.decoder import get_spec, init_params
 from starpu_inference_server_tpu.ops.quant import (
     maybe_quantize_tree,
-    pack_int4_planar,
+    pack_int4,
     quantize_per_channel,
-    unpack_int4_planar,
+    unpack_int4,
 )
 from starpu_inference_server_tpu.parallel.tp_layout import (
     block_tp_permutation,
@@ -59,18 +59,18 @@ def test_permute_commutes_with_quantization():
 def test_repack_int4_rows_shards_are_per_shard_packs():
     rng = np.random.default_rng(1)
     w = rng.integers(-7, 8, (16, 8)).astype(np.int8)
-    node = {"w_p4": pack_int4_planar(jnp.asarray(w)),
+    node = {"w_p4": pack_int4(jnp.asarray(w)),
             "scale": jnp.ones((1, 8), jnp.float32), "bits": 4}
     tp = 2
     repacked = repack_int4_rows(node, tp)["w_p4"]  # [16/2, 8] packed
     rows_per_shard = repacked.shape[0] // tp
     for d in range(tp):
         shard = repacked[d * rows_per_shard : (d + 1) * rows_per_shard]
-        want = pack_int4_planar(jnp.asarray(w[d * 8 : (d + 1) * 8]))
+        want = pack_int4(jnp.asarray(w[d * 8 : (d + 1) * 8]))
         np.testing.assert_array_equal(np.asarray(shard), np.asarray(want))
         # and unpacking the shard yields the original row shard
         np.testing.assert_array_equal(
-            np.asarray(unpack_int4_planar(shard)), w[d * 8 : (d + 1) * 8]
+            np.asarray(unpack_int4(shard)), w[d * 8 : (d + 1) * 8]
         )
 
 
