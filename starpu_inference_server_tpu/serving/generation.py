@@ -175,6 +175,7 @@ class GenerationEngine:
         pipeline_depth: int = 2,
         kv_page_size: int = 0,
         kv_pool_pages: int = 0,
+        fetch_timeout_s: float = 120.0,
         metrics=None,
     ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip decoding —
@@ -503,6 +504,7 @@ class GenerationEngine:
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="gen-fetch"
         )
+        self.fetch_timeout_s = float(fetch_timeout_s)
         self._slots: List[Optional[_SlotState]] = [None] * num_slots
         self._pending: deque = deque()
         self._lock = threading.Lock()
@@ -1203,20 +1205,26 @@ class GenerationEngine:
                 "fetch": self._fetch_pool.submit(np.asarray, block)}
 
     def _fetch_result(self, fut, arr) -> np.ndarray:
-        """Resolve an async token/logits fetch. The axon tunnel defers
-        dispatch until the DISPATCHING thread next touches the device, so
-        a pooled fetch can starve forever if this (loop) thread merely
-        blocks on the future without issuing more device work (observed:
-        idle-engine prefill landings hang). Waiting with a timeout and
-        falling back to a synchronous fetch here both flushes the queue
-        and returns the data; the pooled fetch then completes alongside
-        at no extra cost."""
+        """Resolve an async token/logits fetch with a WATCHDOG. The
+        experimental tunneled transport this repo is benchmarked over
+        can sporadically wedge a device->host fetch forever (observed
+        even for plain sequential np.asarray); an engine that blocks
+        indefinitely turns one lost fetch into a hung server. Every
+        fetch therefore runs on the pool and is bounded by
+        ``fetch_timeout_s``: on expiry the engine raises, the loop's
+        failure path fails all open requests with a real error, and the
+        server stays responsive. On healthy transports (and real local
+        TPU) the timeout never fires."""
         if fut is None:
-            return np.asarray(arr)
+            fut = self._fetch_pool.submit(np.asarray, arr)
         try:
-            return fut.result(timeout=2.0)
+            return fut.result(timeout=self.fetch_timeout_s)
         except concurrent.futures.TimeoutError:
-            return np.asarray(arr)
+            raise RuntimeError(
+                f"device fetch did not complete within "
+                f"{self.fetch_timeout_s:.0f}s — transport wedged; failing "
+                "open requests"
+            ) from None
 
     def _consume_block(self, rec) -> None:
         """Fetch a dispatched block's tokens (the sync point) and commit
