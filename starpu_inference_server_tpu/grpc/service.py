@@ -704,6 +704,91 @@ def add_inference_service(server: grpc.aio.Server, servicer: InferenceServicer) 
         (grpc.method_handlers_generic_handler(SERVICE_FULL_NAME, handlers),)
     )
     add_health_service(server, servicer)
+    add_reflection_service(server)
+
+
+def add_reflection_service(server: grpc.aio.Server) -> None:
+    """Standard ``grpc.reflection.v1alpha.ServerReflection`` service so
+    grpcurl / grpc_cli can discover and call the server without local
+    protos. Hand-registered like everything else here (the
+    grpc_reflection package is not vendored); the descriptor source is
+    this package's own compiled kserve_v2 file. Reference parity:
+    optional reflection in inference_service_async_server.cpp:446-457."""
+    from . import kserve_v2_pb2 as pb
+    from . import reflection_v1alpha_pb2 as rpb
+
+    kserve_fd = pb.DESCRIPTOR.serialized_pb  # self-contained (no deps)
+    services = [
+        SERVICE_FULL_NAME,
+        "grpc.health.v1.Health",
+        "grpc.reflection.v1alpha.ServerReflection",
+    ]
+    # symbols resolvable to the kserve file: its services, methods,
+    # messages (top-level names are enough for grpcurl's lookups)
+    kserve_symbols = {pb.DESCRIPTOR.package}
+    for svc in pb.DESCRIPTOR.services_by_name.values():
+        kserve_symbols.add(svc.full_name)
+        for m in svc.methods:
+            kserve_symbols.add(m.full_name)
+    for msg in pb.DESCRIPTOR.message_types_by_name.values():
+        kserve_symbols.add(msg.full_name)
+
+    def _answer(req: "rpb.ServerReflectionRequest") -> "rpb.ServerReflectionResponse":
+        resp = rpb.ServerReflectionResponse(
+            valid_host=req.host, original_request=req
+        )
+        which = req.WhichOneof("message_request")
+        if which == "list_services":
+            for name in services:
+                resp.list_services_response.service.add(name=name)
+        elif which == "file_containing_symbol":
+            sym = req.file_containing_symbol
+            if sym in kserve_symbols or sym.startswith("inference."):
+                resp.file_descriptor_response.file_descriptor_proto.append(
+                    kserve_fd
+                )
+            else:
+                resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
+                resp.error_response.error_message = f"symbol not found: {sym}"
+        elif which == "file_by_filename":
+            if req.file_by_filename == pb.DESCRIPTOR.name:
+                resp.file_descriptor_response.file_descriptor_proto.append(
+                    kserve_fd
+                )
+            else:
+                resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
+                resp.error_response.error_message = (
+                    f"file not found: {req.file_by_filename}"
+                )
+        elif which == "all_extension_numbers_of_type":
+            resp.all_extension_numbers_response.base_type_name = (
+                req.all_extension_numbers_of_type
+            )
+        else:
+            resp.error_response.error_code = (
+                grpc.StatusCode.UNIMPLEMENTED.value[0]
+            )
+            resp.error_response.error_message = f"unsupported: {which}"
+        return resp
+
+    async def server_reflection_info(request_iterator, context):
+        async for req in request_iterator:
+            yield _answer(req)
+
+    handlers = {
+        "ServerReflectionInfo": grpc.stream_stream_rpc_method_handler(
+            server_reflection_info,
+            request_deserializer=rpb.ServerReflectionRequest.FromString,
+            response_serializer=rpb.ServerReflectionResponse.SerializeToString,
+        ),
+    }
+    server.add_generic_rpc_handlers(
+        (
+            grpc.method_handlers_generic_handler(
+                "grpc.reflection.v1alpha.ServerReflection", handlers
+            ),
+        )
+    )
 
 
 def add_health_service(server: grpc.aio.Server, servicer) -> None:

@@ -358,3 +358,49 @@ def test_client_response_validation(harness):
     auto = run_async(go(None))
     assert auto["validation"]["checked"] == 10
     assert auto["validation"]["failures"] == 0
+
+
+def test_reflection_service(harness):
+    """grpc.reflection.v1alpha works: list_services names the inference
+    + health + reflection services and file_containing_symbol returns a
+    parseable FileDescriptorProto for the kserve file (grpcurl's
+    discovery flow)."""
+    from google.protobuf import descriptor_pb2
+
+    from starpu_inference_server_tpu.grpc import kserve_v2_pb2 as pb
+    from starpu_inference_server_tpu.grpc import reflection_v1alpha_pb2 as rpb
+
+    async def go():
+        channel = grpc.aio.insecure_channel(harness.target)
+        stream = channel.stream_stream(
+            "/grpc.reflection.v1alpha.ServerReflection/ServerReflectionInfo",
+            request_serializer=rpb.ServerReflectionRequest.SerializeToString,
+            response_deserializer=rpb.ServerReflectionResponse.FromString,
+        )
+        reqs = [
+            rpb.ServerReflectionRequest(list_services="*"),
+            rpb.ServerReflectionRequest(
+                file_containing_symbol="inference.GRPCInferenceService"
+            ),
+            rpb.ServerReflectionRequest(file_by_filename="nope.proto"),
+        ]
+        out = []
+        call = stream()
+        for r in reqs:
+            await call.write(r)
+            out.append(await call.read())
+        await call.done_writing()
+        await channel.close()
+        return out
+
+    listed, by_symbol, missing = run_async(go())
+    names = {s.name for s in listed.list_services_response.service}
+    assert "inference.GRPCInferenceService" in names
+    assert "grpc.health.v1.Health" in names
+    assert "grpc.reflection.v1alpha.ServerReflection" in names
+    fds = by_symbol.file_descriptor_response.file_descriptor_proto
+    assert len(fds) == 1
+    fdp = descriptor_pb2.FileDescriptorProto.FromString(fds[0])
+    assert fdp.name == pb.DESCRIPTOR.name
+    assert any(s.name == "GRPCInferenceService" for s in fdp.service)
+    assert missing.error_response.error_code != 0
