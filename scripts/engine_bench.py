@@ -121,12 +121,16 @@ def main() -> int:
         # (the overlapped engine once "beat" it). One dispatch + one
         # scalar fetch, long-minus-short chains to cancel the constant
         # (CLAUDE.md measurement note).
+        eos = jnp.full((s,), -1, jnp.int32)
+        limit = jnp.full((s,), 1 << 30, jnp.int32)
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def chained(params, cache, ids, prog, k):
             def body(_, carry):
                 cache, ids, prog = carry
-                cache, _, ids, prog = engine._decode_and_sample(
-                    params, cache, ids, active, temps, top_k, seeds, prog
+                cache, _, ids, prog, _ = engine._decode_and_sample(
+                    params, cache, ids, active, temps, top_k, seeds, prog,
+                    eos, limit,
                 )
                 return cache, ids, prog
             cache, ids, prog = jax.lax.fori_loop(
@@ -187,6 +191,8 @@ def main() -> int:
         outs = [r.result(timeout=1200.0) for r in reqs]
         dt = time.perf_counter() - t0
         engine.stop()
+        timers = {k: round(v, 3) for k, v in engine.loop_timers.items()}
+        print(f"# loop timers (s): {timers}", file=sys.stderr)
         total = sum(len(t) for t in outs)
         assert all(len(t) == args.new_tokens for t in outs)
         return {

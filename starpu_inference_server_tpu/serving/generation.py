@@ -513,6 +513,10 @@ class GenerationEngine:
         self._thread: Optional[threading.Thread] = None
         self.steps = 0
         self.generated_tokens = 0
+        # cumulative engine-loop phase timers (seconds); "step" further
+        # splits into dispatch vs consume-wait below
+        self.loop_timers = {"admit": 0.0, "step": 0.0, "land": 0.0,
+                            "dispatch": 0.0, "consume": 0.0}
 
     # -- placement ---------------------------------------------------------
 
@@ -672,35 +676,46 @@ class GenerationEngine:
         return tcache, dcache, packed, nxt, progress
 
     def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
-                           seeds, progress):
+                           seeds, progress, eos, limit):
         """temps f32 [S] (0 = greedy), top_k int32 [S] (0 = off), seeds
-        uint32 [S], progress int32 [S] = tokens already emitted per slot.
+        uint32 [S], progress int32 [S] = tokens already emitted per slot,
+        eos int32 [S] (-1 = none), limit int32 [S] = max_new_tokens.
         The PRNG key folds (seed, absolute token position), so a request
         samples the same tokens regardless of how the engine interleaved
         it with other requests. Sampling happens on device; greedy slots
         take the argmax branch via where, so mixed batches stay one
-        compiled program."""
+        compiled program.
+
+        DEVICE-SIDE COMPLETION: a slot whose sampled token hits its eos
+        or exhausts its budget flips its own ``alive`` bit ON DEVICE, so
+        every later step (and every overlapped block chained off this
+        carry) stops advancing its cache — a completed request no longer
+        invalidates the dispatch pipeline, only admissions and
+        cancellations do. Frozen slots repeat their last id in the token
+        block; the host's exactly-once commit loop already stops at the
+        finish condition, so emissions are unchanged."""
         steps = self.steps_per_sync
         s = ids.shape[0]
 
         def body(i, carry):
-            cache, ids, tokens = carry
-            cache, logits = self._step_fn(params, cache, ids, active)
+            cache, ids, alive, prog, tokens = carry
+            cache, logits = self._step_fn(params, cache, ids, alive)
             step_keys = jax.vmap(
-                lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg + i)
-            )(seeds, progress)
+                lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg)
+            )(seeds, prog)
             nxt = _sample_tokens(logits, temps, top_k, step_keys)
-            return cache, nxt, tokens.at[i].set(nxt)
+            nxt = jnp.where(alive, nxt, ids)
+            prog = prog + alive.astype(jnp.int32)
+            done = alive & ((nxt == eos) | (prog >= limit))
+            return cache, nxt, alive & ~done, prog, tokens.at[i].set(nxt)
 
         tokens0 = jnp.zeros((steps, s), jnp.int32)
-        cache, nxt, tokens = jax.lax.fori_loop(
-            0, steps, body, (cache, ids, tokens0)
+        cache, nxt, alive, prog, tokens = jax.lax.fori_loop(
+            0, steps, body, (cache, ids, active, progress, tokens0)
         )
-        # device carry for overlapped dispatch: the next block's input
-        # ids and the per-slot sampling progress (one commit per step on
-        # the non-speculative path; released slots invalidate the carry
-        # via _membership_dirty before it is ever used)
-        return cache, tokens, nxt, progress + steps
+        # device carry for overlapped dispatch: next ids, per-slot
+        # progress and the device-resident alive mask
+        return cache, tokens, nxt, prog, alive
 
     def _bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
@@ -718,14 +733,21 @@ class GenerationEngine:
         # discarded post-EOS tokens: a sync commits up to steps_per_sync
         # tokens per slot (times K+1 when speculating) before the host
         # can release the slot
-        per_block = (
-            self.speculate_k + 1 if self._draft_params is not None else 1
-        )
-        # overlapped dispatch keeps up to pipeline_depth blocks in
-        # flight, multiplying the tokens a slot can advance past EOS
-        # before the host sees it
-        blocks_in_flight = self.pipeline_depth
-        headroom = blocks_in_flight * self.steps_per_sync * per_block - 1
+        # Non-speculative decode enforces EOS/budget ON DEVICE (the
+        # alive carry in _decode_and_sample): a slot freezes exactly at
+        # its limit, so no context rows are consumed past
+        # prompt+max_new and NO sync headroom is needed. The speculative
+        # path still commits up to steps_per_sync*(K+1) tokens per sync
+        # (times the in-flight block count) before the host can stop it.
+        if self._draft_params is not None:
+            headroom = (
+                self.pipeline_depth
+                * self.steps_per_sync
+                * (self.speculate_k + 1)
+                - 1
+            )
+        else:
+            headroom = 0
         if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
@@ -795,14 +817,22 @@ class GenerationEngine:
     def _loop(self) -> None:
         log = get_logger()
         try:
+            t = self.loop_timers  # cumulative phase seconds (profiling)
             while not self._stop.is_set():
+                t0 = now_s()
                 admitted = self._admit_pending()
+                t1 = now_s()
                 stepped = self._step_active()
+                t2 = now_s()
                 # finish prefills whose completion a consumed decode
                 # block has proven; when no decode is in flight there is
                 # nothing to overlap with, so force the (then-stalling)
                 # fetch rather than spin
                 landed = self._land_prefills(force=not stepped)
+                t3 = now_s()
+                t["admit"] += t1 - t0
+                t["step"] += t2 - t1
+                t["land"] += t3 - t2
                 if not admitted and not stepped and not landed:
                     with self._work:
                         if not self._pending and not self._stop.is_set():
@@ -921,10 +951,15 @@ class GenerationEngine:
         (dispatched before the prefill that reads it — ordering via the
         cache chain). Returns False when the pool is exhausted."""
         page = self.kv_page_size
-        per_block = (
-            self.speculate_k + 1 if self._draft_params is not None else 1
-        )
-        headroom = self.pipeline_depth * self.steps_per_sync * per_block - 1
+        if self._draft_params is not None:
+            headroom = (
+                self.pipeline_depth
+                * self.steps_per_sync
+                * (self.speculate_k + 1)
+                - 1
+            )
+        else:
+            headroom = 0  # device-side completion: no overshoot rows
         need_tokens = (
             len(request.prompt_ids) + request.max_new_tokens + headroom
         )
@@ -1157,6 +1192,8 @@ class GenerationEngine:
                 "top_k": np.zeros((self.num_slots,), np.int32),
                 "seeds": np.zeros((self.num_slots,), np.uint32),
                 "progress": np.zeros((self.num_slots,), np.int32),
+                "eos": np.full((self.num_slots,), -1, np.int32),
+                "limit": np.zeros((self.num_slots,), np.int32),
                 "states": list(self._slots),
             }
             for i, s in enumerate(self._slots):
@@ -1167,6 +1204,9 @@ class GenerationEngine:
                     snap["top_k"][i] = s.request.top_k
                     snap["seeds"][i] = s.request.seed & 0xFFFFFFFF
                     snap["progress"][i] = s.emitted
+                    if s.request.eos_id is not None:
+                        snap["eos"][i] = s.request.eos_id
+                    snap["limit"][i] = s.request.max_new_tokens
         # the sampling params are constant for this membership epoch:
         # upload once and reuse across every block dispatched under this
         # snapshot (each upload is a host->device round trip — 4 per
@@ -1175,12 +1215,16 @@ class GenerationEngine:
         snap["temps_dev"] = jnp.asarray(snap["temps"])
         snap["top_k_dev"] = jnp.asarray(snap["top_k"])
         snap["seeds_dev"] = jnp.asarray(snap["seeds"])
+        snap["eos_dev"] = jnp.asarray(snap["eos"])
+        snap["limit_dev"] = jnp.asarray(snap["limit"])
         return snap
 
-    def _dispatch_block(self, ids, progress, snap):
-        """Dispatch one decode block (async — no fetch). ``ids`` and
-        ``progress`` are either fresh host arrays or the previous
-        block's device-resident carry (overlap steady state)."""
+    def _dispatch_block(self, ids, progress, snap, alive=None):
+        """Dispatch one decode block (async — no fetch). ``ids``,
+        ``progress`` and ``alive`` are either fresh host arrays or the
+        previous block's device-resident carry (overlap steady state) —
+        ``alive`` is the device-side completion mask that lets finished
+        slots freeze without invalidating the pipeline."""
         active = snap["active_dev"]
         temps = snap["temps_dev"]
         top_k = snap["top_k_dev"]
@@ -1196,12 +1240,14 @@ class GenerationEngine:
             return {"packed": packed, "nxt": nxt, "prog": prog,
                     "snap": snap, "seq": self._dispatch_seq,
                     "fetch": self._fetch_pool.submit(np.asarray, packed)}
-        self.cache, block, nxt, prog = self._decode(
-            self.params, self.cache, ids, active, temps, top_k, seeds,
-            progress,
+        self.cache, block, nxt, prog, alive_out = self._decode(
+            self.params, self.cache, ids,
+            active if alive is None else alive,
+            temps, top_k, seeds, progress,
+            snap["eos_dev"], snap["limit_dev"],
         )
         return {"block": block, "nxt": nxt, "prog": prog, "snap": snap,
-                "seq": self._dispatch_seq,
+                "alive": alive_out, "seq": self._dispatch_seq,
                 "fetch": self._fetch_pool.submit(np.asarray, block)}
 
     def _fetch_result(self, fut, arr) -> np.ndarray:
@@ -1273,9 +1319,27 @@ class GenerationEngine:
                         finished.add(i)
                         break
         for i in finished:
-            self._release(i)
+            # non-speculative completions already froze their slot ON
+            # DEVICE (the alive carry) — the in-flight pipeline stays
+            # valid; only cancellations (host-initiated, device-unaware)
+            # and the speculative path need the carry invalidated.
+            state = snap["states"][i]
+            invalidate = (
+                self._draft_params is not None
+                or "alive" not in rec
+                or (state is not None and state.request.cancel_flag.is_set())
+            )
+            self._release(i, invalidate_carry=invalidate)
+        if finished:
+            with self._lock:
+                live = any(s is not None for s in self._slots)
+            if not live:
+                # nothing left alive: stop pumping dead blocks; the
+                # next snapshot (on admission) restarts the pipeline
+                self._membership_dirty = True
 
     def _step_active(self) -> bool:
+        t_start = now_s()
         if not self._inflight:
             snap = self._snapshot_active()
             if snap is None:
@@ -1297,9 +1361,13 @@ class GenerationEngine:
         ):
             last = self._inflight[-1]
             self._inflight.append(
-                self._dispatch_block(last["nxt"], last["prog"], last["snap"])
+                self._dispatch_block(last["nxt"], last["prog"],
+                                     last["snap"], last.get("alive"))
             )
+        self.loop_timers["dispatch"] += now_s() - t_start
+        t0 = now_s()
         self._consume_block(self._inflight.popleft())  # may set dirty
+        self.loop_timers["consume"] += now_s() - t0
         return True
 
     def _emit(self, request: GenerationRequest, token: int) -> None:
@@ -1318,8 +1386,9 @@ class GenerationEngine:
             return True
         return req.eos_id is not None and state.request.tokens[-1] == req.eos_id
 
-    def _release(self, slot: int) -> None:
-        self._membership_dirty = True  # overlap carry is stale now
+    def _release(self, slot: int, invalidate_carry: bool = True) -> None:
+        if invalidate_carry:
+            self._membership_dirty = True  # overlap carry is stale now
         with self._lock:
             state = self._slots[slot]
             self._slots[slot] = None

@@ -118,21 +118,22 @@ def test_overlap_eos_truncates(setup):
 
 
 def test_overlap_headroom_enforced(setup):
-    """submit() accounts for the extra in-flight block: a request that
-    fits the sync engine's headroom but not the overlapped one is
-    rejected at the door."""
+    """Device-side completion removes the overlap headroom: in-flight
+    blocks freeze a finished slot on device, so prompt + max_new may
+    fill the whole context even with blocks in flight; one token more
+    is rejected at the door."""
     spec, params = setup
     eng = GenerationEngine(
         spec, params, dtype=jnp.float32, num_slots=1, max_len=32,
         prefill_buckets=[8], steps_per_sync=8, decode_overlap=True,
     )
-    # prompt 4 + max_new 13 + headroom 15 = 32 fits exactly
+    # prompt 4 + max_new 28 = 32 fits exactly
     eng.submit(GenerationRequest(
-        prompt_ids=np.asarray([1, 2, 3, 4], np.int32), max_new_tokens=13))
+        prompt_ids=np.asarray([1, 2, 3, 4], np.int32), max_new_tokens=28))
     with pytest.raises(ValueError):
         eng.submit(GenerationRequest(
             prompt_ids=np.asarray([1, 2, 3, 4], np.int32),
-            max_new_tokens=14))
+            max_new_tokens=29))
 
 
 def test_overlap_speculative_matches_sync(setup):

@@ -76,14 +76,17 @@ def test_multistep_eos_truncates(setup):
 
 
 def test_headroom_enforced(setup):
+    """Device-side completion (the alive carry) freezes a slot exactly
+    at its budget, so the non-speculative path needs NO sync headroom:
+    prompt + max_new == max_len is admissible, one more is not."""
     eng = make_engine(setup, 4)
     try:
         with pytest.raises(ValueError):
-            # 8 + 54 + 3 headroom > 64
+            # 8 + 57 > 64
             eng.submit(GenerationRequest(
-                prompt_ids=np.zeros((8,), np.int32), max_new_tokens=54
+                prompt_ids=np.zeros((8,), np.int32), max_new_tokens=57
             ))
-        # but 8 + 50 + 3 = 61 <= 64 is fine
+        # 8 + 56 == 64 fits exactly
         eng.submit(GenerationRequest(
             prompt_ids=np.zeros((8,), np.int32), max_new_tokens=4
         )).result(timeout=120)
