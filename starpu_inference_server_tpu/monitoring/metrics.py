@@ -187,6 +187,18 @@ class MetricsRecorder:
             "generation_prefix_tokens_reused_total",
             "Prompt tokens served from resident KV rows", **reg
         )
+        # engine-loop phase accounting (device-bound loops show ~all
+        # time in consume-wait; host-bound loops show admit/dispatch)
+        self.generation_loop_seconds = Gauge(
+            "generation_loop_phase_seconds_total",
+            "Cumulative engine-loop seconds by phase",
+            labelnames=("phase",), **reg
+        )
+        self.fetch_timeouts_total = Counter(
+            "generation_fetch_timeouts_total",
+            "Device fetches that exceeded fetch_timeout_s (transport "
+            "wedge watchdog)", **reg
+        )
 
         # -- congestion gauges (reference: 12 congestion gauges) -----------
         self.congestion_flag = Gauge("inference_congestion_flag", "1 = congested", **reg)

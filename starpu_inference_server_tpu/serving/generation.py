@@ -1110,7 +1110,13 @@ class GenerationEngine:
         while self._landings:
             if not force and self._consumed_seq <= self._landings[0].seq:
                 break
-            landing = self._landings.popleft()
+            # peek, don't pop: if the logits fetch below raises (fetch
+            # watchdog), the landing must still be in the deque so the
+            # loop's failure path fails ITS request too
+            landing = self._landings[0]
+            if not landing.request.cancel_flag.is_set():
+                fetched = self._fetch_result(landing.fetch, landing.logits)
+            self._landings.popleft()
             self._reserved.discard(landing.slot)
             if landing.request.cancel_flag.is_set():
                 # cancelled between dispatch and landing: the slot was
@@ -1126,10 +1132,7 @@ class GenerationEngine:
                 landing.request.finished_at = now_s()
                 landing.request.done.set()
             else:
-                self._finish_prefill(
-                    landing.slot, landing.request,
-                    self._fetch_result(landing.fetch, landing.logits),
-                )
+                self._finish_prefill(landing.slot, landing.request, fetched)
             landed = True
         return landed
 
@@ -1266,6 +1269,10 @@ class GenerationEngine:
         try:
             return fut.result(timeout=self.fetch_timeout_s)
         except concurrent.futures.TimeoutError:
+            if self._metrics is not None and hasattr(
+                self._metrics, "fetch_timeouts_total"
+            ):
+                self._metrics.fetch_timeouts_total.inc()
             raise RuntimeError(
                 f"device fetch did not complete within "
                 f"{self.fetch_timeout_s:.0f}s — transport wedged; failing "
@@ -1300,6 +1307,15 @@ class GenerationEngine:
             tokens = self._fetch_result(rec["fetch"], rec["block"])[:, :, None]
             counts = np.ones(tokens.shape[:2], np.int32)
         self.steps += tokens.shape[0]
+        if (
+            self._metrics is not None
+            and self.steps % 64 < tokens.shape[0]
+            and hasattr(self._metrics, "generation_loop_seconds")
+        ):
+            for phase, secs in self.loop_timers.items():
+                self._metrics.generation_loop_seconds.labels(
+                    phase=phase
+                ).set(secs)
 
         finished = set()
         for b in range(tokens.shape[0]):
