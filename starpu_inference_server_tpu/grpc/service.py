@@ -714,6 +714,8 @@ def add_reflection_service(server: grpc.aio.Server) -> None:
     grpc_reflection package is not vendored); the descriptor source is
     this package's own compiled kserve_v2 file. Reference parity:
     optional reflection in inference_service_async_server.cpp:446-457."""
+    from google.protobuf import descriptor_pb2
+
     from . import kserve_v2_pb2 as pb
     from . import reflection_v1alpha_pb2 as rpb
 
@@ -723,15 +725,78 @@ def add_reflection_service(server: grpc.aio.Server) -> None:
         "grpc.health.v1.Health",
         "grpc.reflection.v1alpha.ServerReflection",
     ]
-    # symbols resolvable to the kserve file: its services, methods,
-    # messages (top-level names are enough for grpcurl's lookups)
-    kserve_symbols = {pb.DESCRIPTOR.package}
-    for svc in pb.DESCRIPTOR.services_by_name.values():
-        kserve_symbols.add(svc.full_name)
-        for m in svc.methods:
-            kserve_symbols.add(m.full_name)
-    for msg in pb.DESCRIPTOR.message_types_by_name.values():
-        kserve_symbols.add(msg.full_name)
+
+    # --- synthesized descriptors for the hand-registered services so
+    # grpcurl `describe` works on Health and ServerReflection too.
+    # Reflection: the vendored pb2 is a message-only subset; append the
+    # service to a copy of its own FileDescriptorProto.
+    refl_fdp = descriptor_pb2.FileDescriptorProto.FromString(
+        rpb.DESCRIPTOR.serialized_pb
+    )
+    svc_d = refl_fdp.service.add(name="ServerReflection")
+    svc_d.method.add(
+        name="ServerReflectionInfo",
+        input_type=".grpc.reflection.v1alpha.ServerReflectionRequest",
+        output_type=".grpc.reflection.v1alpha.ServerReflectionResponse",
+        client_streaming=True,
+        server_streaming=True,
+    )
+    refl_fd = refl_fdp.SerializeToString()
+    # Health: built from scratch (the wire handlers hand-encode it).
+    T = descriptor_pb2.FieldDescriptorProto
+    health_fdp = descriptor_pb2.FileDescriptorProto(
+        name="grpc/health/v1/health.proto", package="grpc.health.v1",
+        syntax="proto3",
+    )
+    m = health_fdp.message_type.add(name="HealthCheckRequest")
+    m.field.add(name="service", number=1, type=T.TYPE_STRING,
+                label=T.LABEL_OPTIONAL)
+    m = health_fdp.message_type.add(name="HealthCheckResponse")
+    en = m.enum_type.add(name="ServingStatus")
+    for nm, num in (("UNKNOWN", 0), ("SERVING", 1), ("NOT_SERVING", 2),
+                    ("SERVICE_UNKNOWN", 3)):
+        en.value.add(name=nm, number=num)
+    m.field.add(
+        name="status", number=1, type=T.TYPE_ENUM, label=T.LABEL_OPTIONAL,
+        type_name=".grpc.health.v1.HealthCheckResponse.ServingStatus",
+    )
+    svc_d = health_fdp.service.add(name="Health")
+    svc_d.method.add(name="Check",
+                     input_type=".grpc.health.v1.HealthCheckRequest",
+                     output_type=".grpc.health.v1.HealthCheckResponse")
+    svc_d.method.add(name="Watch",
+                     input_type=".grpc.health.v1.HealthCheckRequest",
+                     output_type=".grpc.health.v1.HealthCheckResponse",
+                     server_streaming=True)
+    health_fd = health_fdp.SerializeToString()
+
+    files = {  # filename -> serialized FileDescriptorProto
+        pb.DESCRIPTOR.name: kserve_fd,
+        refl_fdp.name: refl_fd,
+        health_fdp.name: health_fd,
+    }
+
+    def _file_symbols(fdp: "descriptor_pb2.FileDescriptorProto") -> set:
+        syms = {fdp.package}
+        for s in fdp.service:
+            syms.add(f"{fdp.package}.{s.name}")
+            for meth in s.method:
+                syms.add(f"{fdp.package}.{s.name}.{meth.name}")
+        for msg in fdp.message_type:
+            syms.add(f"{fdp.package}.{msg.name}")
+        return syms
+
+    # symbol -> serialized file (top-level names are enough for
+    # grpcurl's lookups); message full names double as the valid-type
+    # universe for all_extension_numbers_of_type
+    symbols = {}
+    message_names = set()
+    for raw in (kserve_fd, refl_fd, health_fd):
+        fdp = descriptor_pb2.FileDescriptorProto.FromString(raw)
+        for s in _file_symbols(fdp):
+            symbols[s] = raw
+        for msg in fdp.message_type:
+            message_names.add(f"{fdp.package}.{msg.name}")
 
     def _answer(req: "rpb.ServerReflectionRequest") -> "rpb.ServerReflectionResponse":
         resp = rpb.ServerReflectionResponse(
@@ -743,27 +808,31 @@ def add_reflection_service(server: grpc.aio.Server) -> None:
                 resp.list_services_response.service.add(name=name)
         elif which == "file_containing_symbol":
             sym = req.file_containing_symbol
-            if sym in kserve_symbols or sym.startswith("inference."):
-                resp.file_descriptor_response.file_descriptor_proto.append(
-                    kserve_fd
-                )
+            raw = symbols.get(sym)
+            if raw is None and sym.startswith("inference."):
+                raw = kserve_fd
+            if raw is not None:
+                resp.file_descriptor_response.file_descriptor_proto.append(raw)
             else:
                 resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
                 resp.error_response.error_message = f"symbol not found: {sym}"
         elif which == "file_by_filename":
-            if req.file_by_filename == pb.DESCRIPTOR.name:
-                resp.file_descriptor_response.file_descriptor_proto.append(
-                    kserve_fd
-                )
+            raw = files.get(req.file_by_filename)
+            if raw is not None:
+                resp.file_descriptor_response.file_descriptor_proto.append(raw)
             else:
                 resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
                 resp.error_response.error_message = (
                     f"file not found: {req.file_by_filename}"
                 )
         elif which == "all_extension_numbers_of_type":
-            resp.all_extension_numbers_response.base_type_name = (
-                req.all_extension_numbers_of_type
-            )
+            base = req.all_extension_numbers_of_type
+            if base in message_names:
+                # proto3 files here: no extensions, valid type -> empty set
+                resp.all_extension_numbers_response.base_type_name = base
+            else:
+                resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
+                resp.error_response.error_message = f"type not found: {base}"
         else:
             resp.error_response.error_code = (
                 grpc.StatusCode.UNIMPLEMENTED.value[0]

@@ -77,6 +77,57 @@ def _copy_slot_rows(cache: "KVCache", src, dst) -> "KVCache":
     )
 
 
+class _FetchPool:
+    """Daemon-thread pool for device->host fetches.
+
+    Replaces ``ThreadPoolExecutor`` deliberately: the tunneled transport
+    this engine runs over can wedge a fetch forever (the exact failure
+    the fetch watchdog exists for), and a stdlib executor's non-daemon
+    workers then hang ``shutdown(wait=True)`` and interpreter exit.
+    Workers here are daemonic and never joined — a wedged ``np.asarray``
+    can strand one worker without stranding the process. Liveness is an
+    explicit ``alive`` flag (not a private-attribute probe)."""
+
+    def __init__(self, workers: int = 4, name: str = "gen-fetch") -> None:
+        import queue
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._workers = workers
+        self.alive = True
+        for i in range(workers):
+            threading.Thread(
+                target=self._run, name=f"{name}-{i}", daemon=True
+            ).start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fut, fn, args = item
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args))
+            except BaseException as exc:  # noqa: BLE001 - delivered via future
+                fut.set_exception(exc)
+
+    def submit(self, fn, *args) -> "concurrent.futures.Future":
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        self._q.put((fut, fn, args))
+        return fut
+
+    def shutdown(self, drain: bool = True) -> None:
+        """Mark the pool dead so ``start()`` recreates it. With ``drain``
+        the workers exit after finishing queued fetches (sentinel per
+        worker); without it they linger idle — daemonic, so they cost
+        nothing and never block exit. Never waits."""
+        self.alive = False
+        if drain:
+            for _ in range(self._workers):
+                self._q.put(None)
+
+
 @dataclasses.dataclass
 class GenerationRequest:
     prompt_ids: np.ndarray            # int32 [P]
@@ -501,9 +552,7 @@ class GenerationEngine:
         # blocks are queued on device; submitting the fetch at dispatch
         # time overlaps the RTTs of all in-flight blocks (measured
         # 25 ms -> ~4 ms per block).
-        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="gen-fetch"
-        )
+        self._fetch_pool = _FetchPool()
         self.fetch_timeout_s = float(fetch_timeout_s)
         self._slots: List[Optional[_SlotState]] = [None] * num_slots
         self._pending: deque = deque()
@@ -785,10 +834,8 @@ class GenerationEngine:
         return req.result(timeout=timeout)
 
     def start(self) -> None:
-        if self._fetch_pool._shutdown:  # restarted after stop()
-            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=4, thread_name_prefix="gen-fetch"
-            )
+        if not self._fetch_pool.alive:  # restarted after stop()
+            self._fetch_pool = _FetchPool()
         self._stop.clear()
         self._thread = threading.Thread(
             target=self._loop, name="generation-engine", daemon=True
@@ -801,7 +848,12 @@ class GenerationEngine:
             self._work.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30.0)
-        self._fetch_pool.shutdown(wait=True)
+        # Never wait on fetch workers (a wedged device fetch would hang
+        # stop() forever). Drain only once the loop thread has provably
+        # exited — if it is still delivering, leave the workers running
+        # so its drain-then-stop submissions still complete.
+        loop_done = self._thread is None or not self._thread.is_alive()
+        self._fetch_pool.shutdown(drain=loop_done)
 
     def active_count(self) -> int:
         with self._lock:
@@ -1065,6 +1117,7 @@ class GenerationEngine:
                 _PrefillLanding(
                     request=pf.request, slot=pf.slot, logits=logits,
                     seq=self._dispatch_seq,
+                    fetch=self._fetch_pool.submit(np.asarray, logits),
                 )
             )
 
@@ -1097,6 +1150,7 @@ class GenerationEngine:
             _PrefillLanding(
                 request=request, slot=slot, logits=logits,
                 seq=self._dispatch_seq,
+                fetch=self._fetch_pool.submit(np.asarray, logits),
             )
         )
 

@@ -383,6 +383,17 @@ def test_reflection_service(harness):
                 file_containing_symbol="inference.GRPCInferenceService"
             ),
             rpb.ServerReflectionRequest(file_by_filename="nope.proto"),
+            rpb.ServerReflectionRequest(
+                file_containing_symbol="grpc.health.v1.Health"
+            ),
+            rpb.ServerReflectionRequest(
+                file_containing_symbol=(
+                    "grpc.reflection.v1alpha.ServerReflection"
+                )
+            ),
+            rpb.ServerReflectionRequest(
+                all_extension_numbers_of_type="no.such.Type"
+            ),
         ]
         out = []
         call = stream()
@@ -393,7 +404,7 @@ def test_reflection_service(harness):
         await channel.close()
         return out
 
-    listed, by_symbol, missing = run_async(go())
+    listed, by_symbol, missing, health_sym, refl_sym, bad_ext = run_async(go())
     names = {s.name for s in listed.list_services_response.service}
     assert "inference.GRPCInferenceService" in names
     assert "grpc.health.v1.Health" in names
@@ -404,3 +415,11 @@ def test_reflection_service(harness):
     assert fdp.name == pb.DESCRIPTOR.name
     assert any(s.name == "GRPCInferenceService" for s in fdp.service)
     assert missing.error_response.error_code != 0
+    # every advertised service must be describable (grpcurl `describe`)
+    for got, svc in ((health_sym, "Health"), (refl_sym, "ServerReflection")):
+        fds = got.file_descriptor_response.file_descriptor_proto
+        assert len(fds) == 1, got
+        fdp = descriptor_pb2.FileDescriptorProto.FromString(fds[0])
+        assert any(s.name == svc for s in fdp.service)
+    # unknown types are NOT_FOUND, not silently-empty extension sets
+    assert bad_ext.error_response.error_code != 0

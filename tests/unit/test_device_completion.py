@@ -105,12 +105,12 @@ def test_eos_freezes_slot_on_device(setup):
 class _NeverPool:
     """submit() returns a future that never resolves."""
 
-    _shutdown = False
+    alive = True
 
     def submit(self, fn, *a, **kw):
         return concurrent.futures.Future()
 
-    def shutdown(self, wait=True):
+    def shutdown(self, drain=True):
         pass
 
 
@@ -129,3 +129,44 @@ def test_fetch_watchdog_fails_requests_not_hangs(setup):
             req.result(timeout=60)
     finally:
         eng.stop()
+
+
+def test_stop_returns_with_wedged_fetch_in_flight(setup):
+    """ADVICE round-2 medium: stop() must never join a wedged device
+    fetch. A _FetchPool worker stuck forever inside np.asarray (the
+    tunnel failure mode) must not block stop() or pool shutdown."""
+    import threading
+    import time
+
+    from starpu_inference_server_tpu.serving.generation import _FetchPool
+
+    pool = _FetchPool(workers=2, name="test-fetch")
+    release = threading.Event()
+    pool.submit(release.wait)  # wedges worker 0 "forever"
+    ok = pool.submit(lambda: 42)
+    assert ok.result(timeout=10) == 42  # other workers still serve
+    t0 = time.monotonic()
+    pool.shutdown(drain=True)  # must not wait on the wedged worker
+    assert time.monotonic() - t0 < 1.0
+    assert not pool.alive
+    release.set()
+
+    # engine-level: stop() with a wedged pool returns promptly and a
+    # restart gets a fresh, working pool
+    spec, params = setup
+    eng = GenerationEngine(spec, params, dtype=jnp.float32, num_slots=1,
+                           max_len=32, prefill_buckets=[4],
+                           steps_per_sync=2, fetch_timeout_s=0.5)
+    wedge = threading.Event()
+    eng._fetch_pool.submit(wedge.wait)
+    eng.start()
+    t0 = time.monotonic()
+    eng.stop()
+    assert time.monotonic() - t0 < 35.0
+    wedge.set()
+    eng.start()
+    assert eng._fetch_pool.alive
+    toks = eng.generate(np.asarray([1, 2], np.int32), max_new_tokens=3,
+                        timeout=120)
+    assert len(toks) == 3
+    eng.stop()
