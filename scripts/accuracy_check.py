@@ -107,14 +107,14 @@ def run_golden(args) -> int:
                       options=meta["options"]),
         seed=meta["seed"],
     )
-    if args.quant == "w8a8":
+    if args.quant in ("w8a8", "w4a8"):
         from starpu_inference_server_tpu.ops import nn as _nn
 
         _nn.set_w8a8(True)
     try:
         q_out = quant.apply(inputs)
     finally:
-        if args.quant == "w8a8":
+        if args.quant in ("w8a8", "w4a8"):
             from starpu_inference_server_tpu.ops import nn as _nn
 
             _nn.set_w8a8(False)
@@ -138,22 +138,79 @@ def run_golden(args) -> int:
             report["greedy_token_agreement"] = agreement
             if agreement < args.min_token_agreement:
                 ok = False
+        elif key.startswith("last_"):
+            # last-position logits rel-err: the stable decoder signal
+            # (random-weight greedy tokens flip on near-ties, so token
+            # agreement alone under-detects kernel regressions)
+            q_l = np.asarray(q_out[key[5:]], np.float32)[:, -1]
+            rel = np.abs(q_l - rec) / (np.abs(rec).mean() + 1e-9)
+            report[f"quant_rel_err_{key}"] = float(rel.mean())
+            if rel.mean() > args.max_hidden_rel_err:
+                ok = False
+
+    # 3. quant-output DRIFT gate: the recorded strided sample of this
+    # mode's own outputs (CPU-deterministic) must reproduce. This is
+    # the tight regression signal for all four modes — absolute
+    # quant-vs-fp32 agreement cannot gate int4/w4a8 on random weights
+    # (incompressible; large error is expected, drift is not).
+    prefix = f"q_{args.quant}_"
+    for key, rec in recorded.items():
+        if not key.startswith(prefix):
+            continue
+        # same strided sample as make_golden_fixtures.sample()
+        flat = np.asarray(q_out[key[len(prefix):]], np.float32).ravel()
+        stride = max(1, flat.size // 4096)
+        got = flat[::stride][:4096]
+        rel = np.abs(got - rec) / (np.abs(rec).mean() + 1e-9)
+        report[f"quant_drift_{key}"] = float(rel.mean())
+        if rel.mean() > args.max_quant_drift:
+            report["fail"] = f"quantized output {key} drifted"
+            ok = False
 
     report["pass"] = ok
     print(json.dumps(report, indent=2))
     return 0 if ok else 1
 
 
+def _apply_platform(choice: str) -> None:
+    """Pin the JAX platform BEFORE any backend query (same seam as
+    __graft_entry__.py / tests/conftest.py: the axon TPU plugin
+    force-registers at import and the backend freezes on first use).
+    The golden gate is a *determinism* check against CPU-recorded FP32
+    outputs — on the tunneled TPU FP32 drifts ~0.35% >> the 1e-4 gate,
+    so ``cpu`` is the default; ``native`` keeps the ambient platform
+    for on-device accuracy readings."""
+    import os
+
+    import jax
+
+    if choice == "cpu" and os.environ.get("JAX_PLATFORMS", "cpu") in (
+        "cpu", "axon", "",
+    ):
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--family")
     parser.add_argument("--params", default="random")
-    parser.add_argument("--quant", default="int8", choices=["int8", "int4", "w8a8"])
+    parser.add_argument("--quant", default="int8",
+                        choices=["int8", "int4", "w8a8", "w4a8"])
+    parser.add_argument("--platform", default="cpu",
+                        choices=["cpu", "native"],
+                        help="cpu (default): pin the CPU backend for "
+                             "bit-stable golden comparisons; native: use "
+                             "the ambient platform (TPU) for on-device "
+                             "accuracy readings")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--min-top1-agreement", type=float, default=0.995)
     parser.add_argument("--min-token-agreement", type=float, default=0.95)
     parser.add_argument("--max-hidden-rel-err", type=float, default=0.05)
+    parser.add_argument("--max-quant-drift", type=float, default=1e-3,
+                        help="mean rel-err gate for this quant mode's "
+                             "outputs vs the fixture's recorded "
+                             "quantized sample (determinism anchor)")
     parser.add_argument("--options", default="{}",
                         help="JSON model options")
     parser.add_argument("--golden",
@@ -161,6 +218,7 @@ def main() -> int:
                              "against recorded FP32 outputs at real "
                              "hidden sizes instead of a live FP32 run")
     args = parser.parse_args()
+    _apply_platform(args.platform)
     if args.golden:
         return run_golden(args)
     if not args.family:
@@ -184,7 +242,7 @@ def main() -> int:
     inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
 
     ref_out = fp32.apply(inputs)
-    if args.quant == "w8a8":
+    if args.quant in ("w8a8", "w4a8"):
         # process-wide flag, mirroring ModelEngine's W8A8 wiring
         from starpu_inference_server_tpu.ops import nn as _nn
 
@@ -192,7 +250,7 @@ def main() -> int:
     try:
         q_out = quant.apply(inputs)
     finally:
-        if args.quant == "w8a8":
+        if args.quant in ("w8a8", "w4a8"):
             _nn.set_w8a8(False)
 
     report = {"family": args.family, "quant": args.quant, "batch": args.batch}

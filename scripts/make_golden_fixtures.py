@@ -69,6 +69,21 @@ FIXTURES = {
 
 SEED = 20260820
 
+# Quantized outputs are ALSO recorded (strided f32 samples) per mode:
+# absolute quant-vs-fp32 agreement on random weights is a weak gate for
+# 4-bit modes (random weights are incompressible; int4 rel-err ~0.7 is
+# expected, not a bug), but quant outputs on the pinned CPU platform are
+# deterministic — so recorded samples anchor a tight drift gate that
+# catches any quant-kernel numerics change at real hidden sizes.
+QUANT_MODES = ("int8", "w8a8", "int4", "w4a8")
+SAMPLE_CAP = 4096
+
+
+def sample(arr: np.ndarray) -> np.ndarray:
+    flat = np.asarray(arr, np.float32).ravel()
+    stride = max(1, flat.size // SAMPLE_CAP)
+    return flat[::stride][:SAMPLE_CAP]
+
 
 def main() -> int:
     import jax
@@ -77,7 +92,11 @@ def main() -> int:
     import jax.numpy as jnp
 
     from starpu_inference_server_tpu.models import build_model
-    from starpu_inference_server_tpu.utils.config import ModelSettings
+    from starpu_inference_server_tpu.ops import nn as _nn
+    from starpu_inference_server_tpu.utils.config import (
+        ModelSettings,
+        QuantMode,
+    )
     from starpu_inference_server_tpu.utils.input_generator import (
         generate_inputs,
     )
@@ -109,6 +128,23 @@ def main() -> int:
                 rec[f"last_{k}"] = arr[:, -1]
             else:
                 rec[f"out_{k}"] = arr
+        for mode in QUANT_MODES:
+            qmodel = build_model(
+                ModelSettings(
+                    family=fx["family"], compute_dtype="FP32",
+                    quantization=QuantMode(mode), options=fx["options"],
+                ),
+                seed=SEED,
+            )
+            _nn.set_w8a8(mode in ("w8a8", "w4a8"))
+            try:
+                q_out = qmodel.apply(
+                    {k: jnp.asarray(v) for k, v in inputs.items()}
+                )
+            finally:
+                _nn.set_w8a8(False)
+            for k in fx["outputs"]:
+                rec[f"q_{mode}_{k}"] = sample(q_out[k])
         meta = {
             "family": fx["family"], "options": fx["options"],
             "batch": fx["batch"], "seed": SEED, "input_seed": SEED + 1,
