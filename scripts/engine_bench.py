@@ -50,6 +50,11 @@ def main() -> int:
                         "loop is judged against (VERDICT round-1 item 1)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (smoke runs)")
+    p.add_argument("--kv-page-size", type=int, default=0,
+                   help="paged KV cache page size (0 = dense)")
+    p.add_argument("--kv-pool-pages", type=int, default=0,
+                   help="paged pool size incl. garbage page (0 = default "
+                        "half-dense footprint)")
     p.add_argument("--vocab", type=int, default=0,
                    help="override vocab (0 = family default)")
     args = p.parse_args()
@@ -171,6 +176,8 @@ def main() -> int:
             steps_per_sync=args.steps_per_sync,
             decode_overlap=overlap,
             pipeline_depth=args.pipeline_depth,
+            kv_page_size=args.kv_page_size,
+            kv_pool_pages=args.kv_pool_pages,
         )
         engine.start()
         # warmup: prime prefill + decode executables (remote compiles
@@ -204,6 +211,7 @@ def main() -> int:
             "new_tokens": args.new_tokens,
             "steps_per_sync": args.steps_per_sync,
             "overlap": overlap,
+            "kv_page_size": args.kv_page_size,
             "value": round(total / dt, 1),
             "unit": "tokens/s",
             "wall_s": round(dt, 2),

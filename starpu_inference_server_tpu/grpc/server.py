@@ -187,8 +187,7 @@ class InferenceServer:
                 prefix_cache_min=int(opts.get("prefix_cache_min", 16)),
                 # overlapped dispatch (block N+1 in flight while block N's
                 # tokens stream out) is a pure throughput win at steady
-                # state; the cost is one extra sync-block of context
-                # headroom per request
+                # state; device-side completion makes it headroom-free
                 decode_overlap=bool(opts.get("decode_overlap", True)),
                 pipeline_depth=int(opts.get("decode_pipeline_depth", 2)),
                 # paged KV cache: kv_page_size > 0 switches the dense

@@ -324,8 +324,8 @@ class GenerationEngine:
         # slots). Greedy and seeded-sampling outputs are
         # bitwise-identical at any depth (the PRNG folds (seed, absolute
         # progress), which the carry threads through on device). Costs
-        # ``depth`` blocks of context headroom (tokens computed past EOS
-        # before the host can see it).
+        # no context headroom: device-side completion freezes a slot the
+        # moment it hits EOS/budget, even inside queued blocks.
         self.decode_overlap = bool(decode_overlap)
         self.pipeline_depth = max(2, int(pipeline_depth)) if decode_overlap else 1
         self._inflight: deque = deque()  # dispatched, not yet consumed
@@ -355,11 +355,6 @@ class GenerationEngine:
                 raise ValueError(
                     "paged KV cache does not compose with mesh decoding "
                     "yet (slot-sharded dense cache only)"
-                )
-            if prefix_cache:
-                raise ValueError(
-                    "paged KV cache does not compose with prefix_cache "
-                    "yet (row copies assume the dense layout)"
                 )
             if max_len % self.kv_page_size:
                 raise ValueError(
@@ -396,6 +391,14 @@ class GenerationEngine:
                 range(1, self.kv_pool_pages)
             )
             self._slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+            # prefix_cache x paged: pages are REFCOUNTED so a new slot's
+            # table can point straight at the whole pages holding a
+            # shared prefix (zero-copy reuse — the paged analogue of the
+            # dense path's device row copy). Released slots RETAIN their
+            # grant (refs alive) so their pages stay valid for future
+            # hits; retention is reclaimed on pool pressure.
+            self._page_refs = np.zeros((self.kv_pool_pages,), np.int32)
+            self._retained: set = set()
             from ..models.paged_decoder import set_table_row
 
             self._set_table_row = jax.jit(
@@ -643,19 +646,30 @@ class GenerationEngine:
     # -- device fns --------------------------------------------------------
 
     def _speculative_block(self, tparams, dparams, tcache, dcache, ids,
-                           active, temps, top_k, seeds, progress):
+                           active, temps, top_k, seeds, progress, eos,
+                           limit):
         """One sync of speculative decoding: ``steps_per_sync`` blocks of
         draft-K-then-verify chained on device; each block commits 1..K+1
         tokens per greedy slot. Returns (tcache, dcache, packed) where
-        packed int32 [blocks, S, K+2] carries the emitted-token window in
-        columns 0..K and the per-slot commit count in column K+1 (packed
-        so the host pays ONE fetch per sync — the axon-tunnel rule, see
-        CLAUDE.md)."""
+        packed int32 [blocks, S, K+3] carries the emitted-token window in
+        columns 0..K, the per-slot commit count in column K+1, and the
+        pre-clamp accepted-draft count in column K+2 (packed so the host
+        pays ONE fetch per sync — the axon-tunnel rule, see CLAUDE.md).
+
+        DEVICE-SIDE COMPLETION (VERDICT r2 item 6, mirroring
+        ``_decode_and_sample``): the commit count is clamped ON DEVICE to
+        the slot's remaining budget and to the first EOS inside the
+        window, and a finished slot flips its ``alive`` bit so later
+        blocks (including overlapped ones chained off this carry) stop
+        drafting, verifying and advancing its caches. Cache lengths
+        therefore never pass prompt+max_new, and the only capacity
+        overshoot is the verify window's uncommitted rows — admission
+        headroom is exactly K, not depth x steps x (K+1) - 1."""
         k = self.speculate_k
         s = ids.shape[0]
 
         def one_block(carry, _):
-            tcache, dcache, cur, progress = carry
+            tcache, dcache, cur, alive, progress = carry
 
             # draft K tokens greedily with the small model. K+1 steps:
             # the extra step's OUTPUT is discarded, but it writes d_K's
@@ -666,7 +680,7 @@ class GenerationEngine:
             def draft_body(j, c):
                 dcache, tok, toks = c
                 dcache, logits = decode_step(
-                    self.draft_spec, dparams, dcache, tok, active, self.dtype
+                    self.draft_spec, dparams, dcache, tok, alive, self.dtype
                 )
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return dcache, nxt, toks.at[j].set(nxt)
@@ -679,7 +693,7 @@ class GenerationEngine:
             window = jnp.concatenate([cur[:, None], drafts], 1)   # [S, K+1]
             start = tcache.lengths
             tcache, logits = self._verify_fn(
-                tparams, tcache, window, active
+                tparams, tcache, window, alive
             )
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # accept the longest prefix of drafts matching the target's
@@ -697,32 +711,51 @@ class GenerationEngine:
             # sampled slots accept no drafts: they emit exactly one
             # verified token per block with the sequential PRNG fold
             accepted = jnp.where(sampled, 0, accepted)
-            counts = accepted + 1
             out = greedy.at[:, 0].set(first)
-            new_len = jnp.where(active, start + counts, start)
+            # device-side termination: budget clamp first (the host
+            # emits at most ``remaining`` tokens), then stop at the
+            # first EOS among the tokens that survive the clamp
+            counts = jnp.minimum(
+                accepted + 1, jnp.maximum(limit - progress, 0)
+            )
+            emit = jnp.arange(k + 1)[None, :] < counts[:, None]
+            hits = emit & (out == eos[:, None]) & (eos[:, None] >= 0)
+            any_eos = hits.any(axis=1)
+            first_eos = jnp.argmax(hits, axis=1)
+            counts = jnp.where(any_eos, first_eos + 1, counts)
+            counts = jnp.where(alive, counts, 0)
+            progress = progress + counts
+            done = alive & (any_eos | (progress >= limit))
+            new_len = start + counts
             tcache = tcache._replace(lengths=new_len)
             # the draft cache holds valid KV exactly up to the last
             # accepted token; the next block re-feeds the bonus token at
             # position new_len, so both caches commit to the same length
             dcache = dcache._replace(
-                lengths=jnp.where(active, new_len, dcache.lengths)
+                lengths=jnp.where(alive, new_len, dcache.lengths)
             )
-            nxt = jnp.take_along_axis(out, (counts - 1)[:, None], axis=1)[:, 0]
-            progress = progress + jnp.where(active, counts, 0)
+            nxt = jnp.take_along_axis(
+                out, jnp.maximum(counts - 1, 0)[:, None], axis=1
+            )[:, 0]
+            nxt = jnp.where(counts > 0, nxt, cur)
+            # pre-clamp accepted count rides along so the host's
+            # acceptance-rate counter measures DRAFT quality, not
+            # budget/EOS truncation
             packed = jnp.concatenate(
-                [out, jnp.where(active, counts, 0)[:, None]], axis=1
+                [out, counts[:, None], jnp.where(alive, accepted, 0)[:, None]],
+                axis=1,
             )
-            return (tcache, dcache, nxt, progress), packed
+            return (tcache, dcache, nxt, alive & ~done, progress), packed
 
-        (tcache, dcache, nxt, progress), packed = jax.lax.scan(
+        (tcache, dcache, nxt, alive, progress), packed = jax.lax.scan(
             one_block,
-            (tcache, dcache, ids, progress),
+            (tcache, dcache, ids, active, progress),
             None,
             length=self.steps_per_sync,
         )
-        # nxt/progress stay on device so an overlapped block N+1 can be
-        # dispatched before the host fetches this block's tokens
-        return tcache, dcache, packed, nxt, progress
+        # nxt/progress/alive stay on device so an overlapped block N+1
+        # can be dispatched before the host fetches this block's tokens
+        return tcache, dcache, packed, nxt, progress, alive
 
     def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
                            seeds, progress, eos, limit):
@@ -779,24 +812,13 @@ class GenerationEngine:
 
     def submit(self, request: GenerationRequest) -> GenerationRequest:
         request.submitted_at = now_s()
-        # discarded post-EOS tokens: a sync commits up to steps_per_sync
-        # tokens per slot (times K+1 when speculating) before the host
-        # can release the slot
-        # Non-speculative decode enforces EOS/budget ON DEVICE (the
-        # alive carry in _decode_and_sample): a slot freezes exactly at
-        # its limit, so no context rows are consumed past
-        # prompt+max_new and NO sync headroom is needed. The speculative
-        # path still commits up to steps_per_sync*(K+1) tokens per sync
-        # (times the in-flight block count) before the host can stop it.
-        if self._draft_params is not None:
-            headroom = (
-                self.pipeline_depth
-                * self.steps_per_sync
-                * (self.speculate_k + 1)
-                - 1
-            )
-        else:
-            headroom = 0
+        # EOS/budget are enforced ON DEVICE on both paths (the alive
+        # carry in _decode_and_sample / _speculative_block): cache
+        # lengths never pass prompt+max_new. The speculative verify
+        # window still WRITES its K uncommitted rows past the final
+        # length before acceptance is known, so only those rows need
+        # buffer headroom.
+        headroom = self.speculate_k if self._draft_params is not None else 0
         if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
@@ -937,32 +959,48 @@ class GenerationEngine:
                 request.finished_at = now_s()
                 request.done.set()
                 continue
-            if self.kv_page_size and not self._grant_pages(free, request):
-                # pool exhausted: requeue at the FRONT (FIFO order holds)
-                # and stop admitting until a release frees pages
-                with self._lock:
-                    self._pending.appendleft(request)
-                return admitted
-            admitted = True
-            self._reserved.add(free)  # until the prefill lands (or aborts)
             prompt = np.asarray(request.prompt_ids, np.int32)
             # the slot's retained rows are about to be overwritten; its
             # prompt index entry is only valid again at prefill completion
             stale_prompt = self._slot_prompts[free]
             self._slot_prompts[free] = None
+            hit = self._find_prefix(prompt, free, stale_prompt)
+            if self.kv_page_size:
+                # paged prefix reuse is PAGE-GRANULAR and zero-copy: the
+                # new slot's table points at the hit's whole pages
+                shared: List[int] = []
+                src_slot = -1
+                if hit is not None:
+                    src_slot, l_star = hit
+                    n_shared = l_star // self.kv_page_size
+                    if n_shared == 0:
+                        hit = None
+                    else:
+                        hit = (src_slot, n_shared * self.kv_page_size)
+                        shared = self._slot_pages[src_slot][:n_shared]
+                if not self._grant_pages(free, request, shared, src_slot):
+                    # pool exhausted: requeue at the FRONT (FIFO order
+                    # holds) and stop admitting until a release frees
+                    # pages
+                    self._slot_prompts[free] = stale_prompt
+                    with self._lock:
+                        self._pending.appendleft(request)
+                    return admitted
+            admitted = True
+            self._reserved.add(free)  # until the prefill lands (or aborts)
             try:
-                hit = self._find_prefix(prompt, free, stale_prompt)
                 if hit is not None:
                     src, l_star = hit
-                    if src != free:
+                    if src != free and not self.kv_page_size:
                         self.cache = self._copy_prefix(
                             self.cache, jnp.int32(src), jnp.int32(free)
                         )
-                        if self._draft_params is not None:
-                            self._draft_cache = self._copy_prefix(
-                                self._draft_cache, jnp.int32(src),
-                                jnp.int32(free),
-                            )
+                    if src != free and self._draft_params is not None:
+                        # the draft cache is dense in every mode
+                        self._draft_cache = self._copy_prefix(
+                            self._draft_cache, jnp.int32(src),
+                            jnp.int32(free),
+                        )
                     self.prefix_hits += 1
                     self.prefix_tokens_reused += l_star
                     if self._metrics is not None:
@@ -997,32 +1035,60 @@ class GenerationEngine:
                 if not isinstance(exc, ValueError):
                     raise
 
-    def _grant_pages(self, slot: int, request: GenerationRequest) -> bool:
+    def _grant_pages(
+        self,
+        slot: int,
+        request: GenerationRequest,
+        shared=(),
+        src_slot: int = -1,
+    ) -> bool:
         """Paged mode: reserve pool pages sized to THIS request
         (prompt + max_new + sync headroom), install the slot's table row
         (dispatched before the prefill that reads it — ordering via the
-        cache chain). Returns False when the pool is exhausted."""
+        cache chain). ``shared`` page ids (a prefix hit's whole pages,
+        owned by ``src_slot``) head the table with their refcount bumped
+        — zero-copy prefix reuse. Returns False when the pool is
+        exhausted even after reclaiming retained grants."""
         page = self.kv_page_size
-        if self._draft_params is not None:
-            headroom = (
-                self.pipeline_depth
-                * self.steps_per_sync
-                * (self.speculate_k + 1)
-                - 1
-            )
-        else:
-            headroom = 0  # device-side completion: no overshoot rows
+        # device-side completion on both paths: the only overshoot is
+        # the speculative verify window's K uncommitted rows (see
+        # submit())
+        headroom = self.speculate_k if self._draft_params is not None else 0
         need_tokens = (
             len(request.prompt_ids) + request.max_new_tokens + headroom
         )
         need = -(-need_tokens // page)
-        if len(self._free_pages) < need:
+        shared = list(shared)
+        own_needed = need - len(shared)
+        if len(self._free_pages) < own_needed:
+            # reclaim RETAINED grants (released slots kept alive only
+            # for prefix hits) before refusing admission. Never evict
+            # the hit's source slot or this slot mid-grant.
+            for victim in [
+                v for v in list(self._retained)
+                if v not in (slot, src_slot)
+            ]:
+                self._evict_retained(victim)
+                if len(self._free_pages) >= own_needed:
+                    break
+        if len(self._free_pages) < own_needed and slot in self._retained:
+            self._evict_retained(slot)
+        if len(self._free_pages) < own_needed:
             if self._metrics is not None and hasattr(
                 self._metrics, "kv_pool_exhausted_total"
             ):
                 self._metrics.kv_pool_exhausted_total.inc()
             return False
-        pages = [self._free_pages.pop() for _ in range(need)]
+        old = self._slot_pages[slot]  # retained leftovers being replaced
+        for p in shared:
+            self._page_refs[p] += 1
+        own = [self._free_pages.pop() for _ in range(own_needed)]
+        for p in own:
+            self._page_refs[p] = 1
+        self._retained.discard(slot)
+        if old:
+            self._decref_pages(old)
+        pages = shared + own
         self._slot_pages[slot] = pages
         row = np.zeros((self.max_len // page,), np.int32)
         row[: len(pages)] = pages
@@ -1035,10 +1101,32 @@ class GenerationEngine:
             self._metrics.kv_pool_free_pages.set(len(self._free_pages))
         return True
 
-    def _free_slot_pages(self, slot: int) -> None:
+    def _decref_pages(self, pages) -> None:
+        for p in pages:
+            self._page_refs[p] -= 1
+            if self._page_refs[p] == 0:
+                self._free_pages.append(p)
+
+    def _evict_retained(self, slot: int) -> None:
+        """Drop a released slot's retained grant: its prompt leaves the
+        prefix index and its pages decref (shared pages stay alive under
+        other slots' refs)."""
+        self._retained.discard(slot)
+        self._slot_prompts[slot] = None
+        self._decref_pages(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+
+    def _free_slot_pages(self, slot: int, retain: bool = False) -> None:
         if not self.kv_page_size or not self._slot_pages[slot]:
             return
-        self._free_pages.extend(self._slot_pages[slot])
+        if retain and self.prefix_cache:
+            # keep the grant alive so the slot's rows stay valid for
+            # prefix hits (the dense path gets this for free — rows
+            # persist until overwritten; paged pages must be pinned)
+            self._retained.add(slot)
+            return
+        self._retained.discard(slot)
+        self._decref_pages(self._slot_pages[slot])
         self._slot_pages[slot] = []
         if self._metrics is not None and hasattr(
             self._metrics, "kv_pool_free_pages"
@@ -1288,14 +1376,17 @@ class GenerationEngine:
         seeds = snap["seeds_dev"]
         self._dispatch_seq += 1
         if self._draft_params is not None:
-            (self.cache, self._draft_cache, packed, nxt,
-             prog) = self._spec_decode(
+            (self.cache, self._draft_cache, packed, nxt, prog,
+             alive_out) = self._spec_decode(
                 self.params, self._draft_params, self.cache,
-                self._draft_cache, ids, active, temps, top_k, seeds,
-                progress,
+                self._draft_cache, ids,
+                active if alive is None else alive,
+                temps, top_k, seeds, progress,
+                snap["eos_dev"], snap["limit_dev"],
             )
             return {"packed": packed, "nxt": nxt, "prog": prog,
-                    "snap": snap, "seq": self._dispatch_seq,
+                    "snap": snap, "alive": alive_out,
+                    "seq": self._dispatch_seq,
                     "fetch": self._fetch_pool.submit(np.asarray, packed)}
         self.cache, block, nxt, prog, alive_out = self._decode(
             self.params, self.cache, ids,
@@ -1342,15 +1433,19 @@ class GenerationEngine:
         # (in-order device execution): earlier prefill landings are ready
         self._consumed_seq = max(self._consumed_seq, rec["seq"])
         if "packed" in rec:
-            # [blocks, S, K+2]: one fetch, started at dispatch time
+            # [blocks, S, K+3]: one fetch, started at dispatch time
             packed = self._fetch_result(rec["fetch"], rec["packed"])
-            tokens = packed[:, :, :-1]          # [blocks, S, K+1]
-            counts = packed[:, :, -1]           # [blocks, S]
-            n_greedy = int((active & (snap["temps"] == 0)).sum())
-            self.drafted_tokens += self.speculate_k * n_greedy * tokens.shape[0]
-            greedy_counts = counts[:, active & (snap["temps"] == 0)]
+            tokens = packed[:, :, :-2]          # [blocks, S, K+1]
+            counts = packed[:, :, -2]           # [blocks, S]
+            raw_accepted = packed[:, :, -1]     # [blocks, S] pre-clamp
+            # drafts happen only while the slot is device-alive, and an
+            # alive greedy slot always commits >= 1 token — so counts>0
+            # marks exactly the (block, slot) pairs that drafted
+            greedy = active & (snap["temps"] == 0)
+            drafted_mask = counts[:, greedy] > 0
+            self.drafted_tokens += self.speculate_k * int(drafted_mask.sum())
             self.accepted_drafts += int(
-                np.maximum(greedy_counts - 1, 0).sum()
+                raw_accepted[:, greedy][drafted_mask].sum()
             )
             if self._metrics is not None and self.drafted_tokens:
                 self._metrics.draft_acceptance_ratio.set(
@@ -1395,8 +1490,7 @@ class GenerationEngine:
             # and the speculative path need the carry invalidated.
             state = snap["states"][i]
             invalidate = (
-                self._draft_params is not None
-                or "alive" not in rec
+                "alive" not in rec
                 or (state is not None and state.request.cancel_flag.is_set())
             )
             self._release(i, invalidate_carry=invalidate)
@@ -1475,8 +1569,9 @@ class GenerationEngine:
                 )
         # paged mode: return the slot's pages to the pool (safe now —
         # any in-flight block's accesses execute before a re-grant's
-        # overwrite, see the allocator comment)
-        self._free_slot_pages(slot)
+        # overwrite, see the allocator comment). Under prefix_cache the
+        # grant is RETAINED instead so the rows stay valid for hits.
+        self._free_slot_pages(slot, retain=True)
         # zero the slot length so the next prefill starts clean
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[slot].set(0)

@@ -13,6 +13,9 @@ from starpu_inference_server_tpu.serving.runner import TaskRunner
 from starpu_inference_server_tpu.utils.config import parse_config
 from tests.integration.test_pipeline import Collector
 
+pytestmark = pytest.mark.slow
+
+
 
 def mesh_cfg(data=2, model=4):
     return parse_config({

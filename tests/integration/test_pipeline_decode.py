@@ -17,6 +17,7 @@ from starpu_inference_server_tpu.models.decoder import (
     init_params,
     prefill,
     prefill_chunk,
+
 )
 from starpu_inference_server_tpu.parallel.mesh import MeshAxes, make_device_mesh
 from starpu_inference_server_tpu.parallel.partition import partition_rules_for
@@ -32,6 +33,8 @@ from starpu_inference_server_tpu.serving.generation import (
     GenerationEngine,
     GenerationRequest,
 )
+
+pytestmark = pytest.mark.slow
 
 TINY = {"layers": 4, "hidden": 64, "q_heads": 4, "kv_heads": 2,
         "intermediate": 96, "vocab": 128}

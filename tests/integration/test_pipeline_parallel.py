@@ -10,6 +10,7 @@ from starpu_inference_server_tpu.models.decoder import (
     forward_logits,
     get_spec,
     init_params,
+
 )
 from starpu_inference_server_tpu.ops.quant import maybe_quantize_tree
 from starpu_inference_server_tpu.parallel.mesh import MeshAxes, make_device_mesh
@@ -18,6 +19,8 @@ from starpu_inference_server_tpu.parallel.pipeline import (
     pipelined_decoder_logits,
     stack_layers,
 )
+
+pytestmark = pytest.mark.slow
 
 TINY = {"layers": 4, "hidden": 128, "q_heads": 4, "kv_heads": 2,
         "intermediate": 256, "vocab": 128}

@@ -11,6 +11,9 @@ from starpu_inference_server_tpu.core.engine import ModelEngine
 from starpu_inference_server_tpu.models import build_model
 from starpu_inference_server_tpu.utils.config import parse_config
 
+pytestmark = pytest.mark.slow
+
+
 TINY_OPTS = {"layers": 2, "hidden": 128, "q_heads": 4, "kv_heads": 2,
              "intermediate": 256, "vocab": 128, "seq_len": 8}
 

@@ -10,6 +10,7 @@ from starpu_inference_server_tpu.models.decoder import (
     forward_logits,
     get_spec,
     init_params,
+
 )
 from starpu_inference_server_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -20,6 +21,8 @@ from starpu_inference_server_tpu.parallel.ring_attention import (
     ring_causal_attention,
     sequence_parallel_decoder_logits,
 )
+
+pytestmark = pytest.mark.slow
 
 TINY = {"layers": 2, "hidden": 64, "q_heads": 4, "kv_heads": 2,
         "intermediate": 96, "vocab": 128}

@@ -272,3 +272,50 @@ def test_speculative_chunked_prefill_matches_plain(target):
     got = _drain(spec_eng, prompts)
     assert got == want
     assert spec_eng.drafted_tokens > 0
+
+
+def test_headroom_is_exactly_k(target):
+    """Device-side completion collapsed the speculative admission
+    headroom to K (the verify window's uncommitted rows): a request
+    with prompt + max_new + K == max_len is admitted and completes
+    exactly at its budget; one token more is rejected at the door."""
+    k = 3
+    eng = _make_engine(target, same_as_target=True, speculate_k=k,
+                       max_len=32, steps_per_sync=2, decode_overlap=True,
+                       pipeline_depth=3)
+    try:
+        prompt = np.asarray([5, 4, 3, 2], np.int32)  # len 4
+        fits = 32 - len(prompt) - k                  # max_new = 25
+        with pytest.raises(ValueError, match="headroom"):
+            eng.submit(GenerationRequest(prompt_ids=prompt,
+                                         max_new_tokens=fits + 1))
+        req = GenerationRequest(prompt_ids=prompt, max_new_tokens=fits)
+        eng.submit(req)
+        tokens = req.result(timeout=120)
+        assert len(tokens) == fits
+    finally:
+        eng.stop()
+
+
+def test_staggered_budgets_freeze_on_device(target):
+    """Slots with different budgets complete at exactly their limits
+    while sharing verify blocks — frozen slots stop advancing on device
+    without invalidating the overlapped pipeline."""
+    prompts = [np.asarray([3, 7, 11, 2], np.int32),
+               np.asarray([1, 4], np.int32),
+               np.asarray([9, 9, 9], np.int32)]
+    budgets = [5, 17, 11]
+    refs = [_plain_tokens(target, [p], b)[0]
+            for p, b in zip(prompts, budgets)]
+    eng = _make_engine(target, same_as_target=True, speculate_k=4,
+                       steps_per_sync=4, decode_overlap=True)
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=b)
+                for p, b in zip(prompts, budgets)]
+        for r in reqs:
+            eng.submit(r)
+        got = [r.result(timeout=120) for r in reqs]
+        assert got == refs
+        assert [len(t) for t in got] == budgets
+    finally:
+        eng.stop()

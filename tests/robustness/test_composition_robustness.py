@@ -19,6 +19,8 @@ from starpu_inference_server_tpu.serving.generation import (
     GenerationRequest,
 )
 
+pytestmark = pytest.mark.slow
+
 TINY = {"layers": 2, "hidden": 128, "q_heads": 4, "kv_heads": 2,
         "intermediate": 256, "vocab": 128}
 DRAFT = {"layers": 1, "hidden": 64, "q_heads": 2, "kv_heads": 1,
