@@ -40,6 +40,10 @@ def main() -> int:
     p.add_argument("--no-overlap", dest="overlap", action="store_false")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="decode blocks kept in flight when --overlap")
+    p.add_argument("--depth-sweep", default="",
+                   help="comma list of pipeline depths to A/B with "
+                        "overlap on, sharing compiled executables "
+                        "(e.g. 2,3,4)")
     p.add_argument("--ab", action="store_true",
                    help="run overlap OFF then ON in one process (shared "
                         "compiled executables -> clean comparison)")
@@ -55,6 +59,15 @@ def main() -> int:
     p.add_argument("--kv-pool-pages", type=int, default=0,
                    help="paged pool size incl. garbage page (0 = default "
                         "half-dense footprint)")
+    p.add_argument("--draft-family", default="",
+                   help="speculative decoding: draft model family "
+                        "(e.g. llama-draft-150m); empty = off")
+    p.add_argument("--speculate-k", type=int, default=4)
+    p.add_argument("--draft-options",
+                   default='{"layers": 4, "hidden": 512, "q_heads": 8, '
+                           '"kv_heads": 4, "intermediate": 1376}',
+                   help="JSON options for the draft spec (vocab is "
+                        "forced to the target's)")
     p.add_argument("--vocab", type=int, default=0,
                    help="override vocab (0 = family default)")
     args = p.parse_args()
@@ -165,7 +178,22 @@ def main() -> int:
             "wall_s": round(dt, 2),
         }
 
-    def run_one(overlap: bool) -> dict:
+    draft_spec = None
+    draft_params = None
+    if args.draft_family == "same":
+        # perfect draft (draft == target): the acceptance=1 upper bound
+        # of the speculative machinery — real-weight acceptance (typ.
+        # 0.6-0.8 for a tuned draft) lands between this and the
+        # random-draft lower bound (acceptance ~ 1/vocab ~ 0)
+        draft_spec, draft_params = spec, params
+    elif args.draft_family:
+        opts = dict(json.loads(args.draft_options), vocab=spec.vocab)
+        draft_spec = get_spec(args.draft_family, opts)
+        draft_params = maybe_quantize_tree(
+            init_params(draft_spec, np.random.default_rng(7)), bits
+        )
+
+    def run_one(overlap: bool, depth: int = 0) -> dict:
         engine = GenerationEngine(
             spec,
             params,
@@ -175,18 +203,27 @@ def main() -> int:
             prefill_buckets=[args.prompt_len],
             steps_per_sync=args.steps_per_sync,
             decode_overlap=overlap,
-            pipeline_depth=args.pipeline_depth,
+            pipeline_depth=depth or args.pipeline_depth,
             kv_page_size=args.kv_page_size,
             kv_pool_pages=args.kv_pool_pages,
+            draft_spec=draft_spec,
+            draft_params=draft_params,
+            speculate_k=args.speculate_k,
         )
         engine.start()
         # warmup: prime prefill + decode executables (remote compiles
         # are 30-60 s each over the axon tunnel; see CLAUDE.md). The
         # executables do not depend on the overlap flag, so an --ab
         # run compiles once and both passes reuse them.
-        print(f"# warmup (overlap={overlap}) ...", file=sys.stderr)
+        print(f"# warmup (overlap={overlap}, depth={depth or args.pipeline_depth}) ...",
+              file=sys.stderr)
         engine.generate(prompts[0], max_new_tokens=2 * args.steps_per_sync,
                         timeout=600.0)
+        # timers up to here are dominated by remote-compile waits —
+        # zero them so the printed breakdown covers ONLY the measured
+        # window (VERDICT r2 item 1: publish the real phase split)
+        for k in engine.loop_timers:
+            engine.loop_timers[k] = 0.0
         print("# measuring ...", file=sys.stderr)
         reqs = [
             GenerationRequest(prompt_ids=pr, max_new_tokens=args.new_tokens)
@@ -199,9 +236,16 @@ def main() -> int:
         dt = time.perf_counter() - t0
         engine.stop()
         timers = {k: round(v, 3) for k, v in engine.loop_timers.items()}
-        print(f"# loop timers (s): {timers}", file=sys.stderr)
+        shares = {k: f"{100 * v / dt:.0f}%" for k, v in timers.items()}
+        print(f"# loop timers (s, measured window only): {timers}",
+              file=sys.stderr)
+        print(f"# loop shares of wall: {shares}", file=sys.stderr)
         total = sum(len(t) for t in outs)
         assert all(len(t) == args.new_tokens for t in outs)
+        if args.draft_family:
+            print(f"# draft acceptance rate: "
+                  f"{engine.draft_acceptance_rate():.3f} "
+                  f"(drafted {engine.drafted_tokens})", file=sys.stderr)
         return {
             "metric": "engine_decode_tokens_per_sec",
             "family": args.family,
@@ -212,6 +256,12 @@ def main() -> int:
             "steps_per_sync": args.steps_per_sync,
             "overlap": overlap,
             "kv_page_size": args.kv_page_size,
+            **(
+                {"speculate_k": args.speculate_k,
+                 "draft": args.draft_family,
+                 "acceptance": round(engine.draft_acceptance_rate(), 3)}
+                if args.draft_family else {}
+            ),
             "value": round(total / dt, 1),
             "unit": "tokens/s",
             "wall_s": round(dt, 2),
@@ -220,6 +270,14 @@ def main() -> int:
     raw = run_raw() if args.raw else None
     if raw is not None:
         print(json.dumps(raw))
+    if args.depth_sweep:
+        for depth in [int(d) for d in args.depth_sweep.split(",")]:
+            res = run_one(True, depth=depth)
+            res["pipeline_depth"] = depth
+            if raw is not None:
+                res["vs_raw"] = round(res["value"] / raw["value"], 3)
+            print(json.dumps(res))
+        return 0
     if args.ab:
         off = run_one(False)
         on = run_one(True)

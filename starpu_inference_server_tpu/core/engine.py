@@ -313,6 +313,15 @@ class ModelEngine:
         a reliable fence on proxied PJRT backends; the fetch is.
         """
         for arr in outputs.values():
+            # enqueue every tensor's D2H copy behind the program before
+            # fencing: over the tunnel the transfers then ride one round
+            # trip instead of one RTT per asarray (see
+            # serving/generation.py _prefetch for the measurement)
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        for arr in outputs.values():
             arr.block_until_ready()
         return {name: np.asarray(arr) for name, arr in outputs.items()}
 

@@ -1201,6 +1201,7 @@ class GenerationEngine:
         if pf.offset >= len(pf.prompt):
             self._prefilling = None
             self._dispatch_seq += 1
+            self._prefetch(logits)
             self._landings.append(
                 _PrefillLanding(
                     request=pf.request, slot=pf.slot, logits=logits,
@@ -1234,6 +1235,7 @@ class GenerationEngine:
         # later-dispatched decode block is consumed (or immediately when
         # there is no decode to overlap with)
         self._dispatch_seq += 1
+        self._prefetch(logits)
         self._landings.append(
             _PrefillLanding(
                 request=request, slot=slot, logits=logits,
@@ -1364,6 +1366,22 @@ class GenerationEngine:
         snap["limit_dev"] = jnp.asarray(snap["limit"])
         return snap
 
+    @staticmethod
+    def _prefetch(arr) -> None:
+        """Enqueue the device->host copy NOW, behind the program that
+        produces ``arr`` (in-order execution). Over the axon tunnel this
+        is the difference between ~1 wire RTT per consumed block and ~1
+        RTT total per pipeline: measured 8 queued scalar fetches resolve
+        in 189 ms fetched sequentially, 41 ms via the thread pool alone,
+        29 ms with copy_to_host_async (the whole pipeline's transfers
+        ride one round trip). The pooled np.asarray in _fetch_result
+        then just waits for data already in flight (and keeps the
+        watchdog)."""
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:  # non-jax.Array (tests, fallbacks)
+            pass
+
     def _dispatch_block(self, ids, progress, snap, alive=None):
         """Dispatch one decode block (async — no fetch). ``ids``,
         ``progress`` and ``alive`` are either fresh host arrays or the
@@ -1384,6 +1402,7 @@ class GenerationEngine:
                 temps, top_k, seeds, progress,
                 snap["eos_dev"], snap["limit_dev"],
             )
+            self._prefetch(packed)
             return {"packed": packed, "nxt": nxt, "prog": prog,
                     "snap": snap, "alive": alive_out,
                     "seq": self._dispatch_seq,
@@ -1394,6 +1413,7 @@ class GenerationEngine:
             temps, top_k, seeds, progress,
             snap["eos_dev"], snap["limit_dev"],
         )
+        self._prefetch(block)
         return {"block": block, "nxt": nxt, "prog": prog, "snap": snap,
                 "alive": alive_out, "seq": self._dispatch_seq,
                 "fetch": self._fetch_pool.submit(np.asarray, block)}
@@ -1467,22 +1487,61 @@ class GenerationEngine:
                 ).set(secs)
 
         finished = set()
-        for b in range(tokens.shape[0]):
-            for i in range(self.num_slots):
-                if not active[i] or i in finished:
-                    continue
-                with self._lock:
-                    state = self._slots[i]
-                if state is None or state is not snap["states"][i]:
-                    continue  # slot released (and possibly re-admitted)
-                for j in range(int(counts[b, i])):
-                    token = int(tokens[b, i, j])
-                    state.last_token = token
-                    state.emitted += 1
-                    self._emit(state.request, token)
-                    if self._finished(state):
-                        finished.add(i)
+        spec_mode = "packed" in rec
+        steps_n = tokens.shape[0]
+        for i in range(self.num_slots):
+            if not active[i]:
+                continue
+            with self._lock:
+                state = self._slots[i]
+            if state is None or state is not snap["states"][i]:
+                continue  # slot released (and possibly re-admitted)
+            req = state.request
+            if req.cancel_flag.is_set():
+                finished.add(i)
+                continue
+            if spec_mode:
+                # variable commits per block: walk the counts
+                for b in range(steps_n):
+                    for j in range(int(counts[b, i])):
+                        token = int(tokens[b, i, j])
+                        state.last_token = token
+                        state.emitted += 1
+                        self._emit(req, token)
+                        if self._finished(state):
+                            finished.add(i)
+                            break
+                    if i in finished:
                         break
+                continue
+            # plain path: exactly one token per step and EOS/budget are
+            # already enforced ON DEVICE — commit the slot's column in
+            # bulk instead of 8 locked per-token Python iterations (the
+            # commit scan is on the engine loop's critical path)
+            col = tokens[:, i, 0]
+            n = int(min(steps_n, max(req.max_new_tokens - state.emitted, 0)))
+            eos = req.eos_id
+            if eos is not None and n > 0:
+                hits = np.nonzero(col[:n] == eos)[0]
+                if hits.size:
+                    n = int(hits[0]) + 1
+            if n <= 0:
+                finished.add(i)
+                continue
+            take = col[:n].tolist()
+            req.tokens.extend(take)
+            if req.on_token is not None:
+                for t in take:
+                    req.on_token(t)
+            state.emitted += n
+            state.last_token = take[-1]
+            self.generated_tokens += n
+            if self._metrics is not None:
+                self._metrics.generated_tokens_total.inc(n)
+            if state.emitted >= req.max_new_tokens or (
+                eos is not None and take[-1] == eos
+            ):
+                finished.add(i)
         for i in finished:
             # non-speculative completions already froze their slot ON
             # DEVICE (the alive carry) — the in-flight pipeline stays
