@@ -63,6 +63,10 @@ def main() -> int:
                    help="speculative decoding: draft model family "
                         "(e.g. llama-draft-150m); empty = off")
     p.add_argument("--speculate-k", type=int, default=4)
+    p.add_argument("--fetch-timeout", type=float, default=600.0,
+                   help="engine fetch watchdog seconds (compiles for new "
+                        "shapes + tunnel wedge phases can exceed the "
+                        "serving default)")
     p.add_argument("--draft-options",
                    default='{"layers": 4, "hidden": 512, "q_heads": 8, '
                            '"kv_heads": 4, "intermediate": 1376}',
@@ -209,6 +213,7 @@ def main() -> int:
             draft_spec=draft_spec,
             draft_params=draft_params,
             speculate_k=args.speculate_k,
+            fetch_timeout_s=args.fetch_timeout,
         )
         engine.start()
         # warmup: prime prefill + decode executables (remote compiles
