@@ -195,6 +195,8 @@ class InferenceServer:
                 # (models/paged_decoder.py); kv_pool_pages sizes the pool
                 kv_page_size=int(opts.get("kv_page_size", 0)),
                 kv_pool_pages=int(opts.get("kv_pool_pages", 0)),
+                # tunneled transports wedge fetches; serving default 120s
+                fetch_timeout_s=float(opts.get("fetch_timeout_s", 120.0)),
                 metrics=getattr(self.observability, "metrics", None),
             )
         else:
