@@ -253,6 +253,9 @@ def main() -> int:
     parser.add_argument("--state-dict", required=True,
                         help="torch .pt/.pth/.bin state-dict file")
     parser.add_argument("--out", required=True, help="output .npz path")
+    parser.add_argument("--options", default="{}",
+                        help="JSON model options (depth/width overrides "
+                             "for the reference build)")
     args = parser.parse_args()
 
     import torch
@@ -262,7 +265,13 @@ def main() -> int:
         sd = sd.state_dict()
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
-    reference = build_model(ModelSettings(family=args.family), seed=0)
+    import json
+
+    reference = build_model(
+        ModelSettings(family=args.family,
+                      options=json.loads(args.options)),
+        seed=0,
+    )
     tree = mapper_for(args.family)(sd, reference.params)
     save_params(args.out, tree)
     print(f"wrote {args.out}")
