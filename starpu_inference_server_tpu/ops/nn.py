@@ -238,6 +238,34 @@ def _attention(q, k, v, mask, num_heads: int, dtype) -> jnp.ndarray:
     b, s, d = q.shape
     head_dim = d // num_heads
 
+    # fused flash path for encoder layers, gated to LONG sequences: the
+    # XLA fallback materializes [B, H, S, S] scores — at s>=512 the
+    # isolated kernel measures 1.35x (s=512) to 2.0x (s=2048) ahead; at
+    # s=128 the scores fit VMEM and XLA's fusion wins end-to-end
+    # (full-model measurement in the bidirectional_attention docstring)
+    if (
+        _USE_PALLAS
+        and head_dim % 64 == 0
+        and s % 128 == 0
+        and s >= 512
+        and (mask is None or mask.ndim == 2)
+    ):
+        from . import prefill_attention as _pa
+
+        qh = q.reshape(b, s, num_heads, head_dim)
+        kh = k.reshape(b, s, num_heads, head_dim)
+        vh = v.reshape(b, s, num_heads, head_dim)
+        key_bias = (
+            jnp.zeros((b, s), jnp.float32)
+            if mask is None
+            else jnp.where(mask.astype(bool), 0.0, -1e9).astype(jnp.float32)
+        )
+        out = _pa.bidirectional_attention(
+            qh.astype(dtype), kh.astype(dtype), vh.astype(dtype), key_bias,
+            rep=1, out_dtype=dtype,
+        )
+        return out.reshape(b, s, d)
+
     def split(t):
         return t.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
 

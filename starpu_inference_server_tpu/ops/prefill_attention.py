@@ -224,6 +224,124 @@ def causal_attention(
 
 
 # ---------------------------------------------------------------------------
+# bidirectional self-attention: encoder (BERT/ViT) layers
+# ---------------------------------------------------------------------------
+
+def _bidir_kernel(
+    q_ref,    # [1, Hkv, TQ*rep, D]
+    k_ref,    # [1, Hkv, C, D]
+    v_ref,    # [1, Hkv, C, D]
+    m_ref,    # f32 [1, 1, C] additive key bias (0 attend / -1e9 masked)
+    o_ref,    # [1, Hkv, TQ*rep, D]
+    m_scr, l_scr, acc_scr,
+    *,
+    n_chunks: int,
+):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    d = q_ref.shape[-1]
+    q = q_ref[0].astype(jnp.float32)
+    kt = k_ref[0].astype(jnp.float32)
+    vt = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(d)
+    logits = logits + m_ref[0, 0][None, None, :]
+    _flash_update(logits, vt, m_scr, l_scr, acc_scr)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rep", "tq", "chunk", "out_dtype")
+)
+def bidirectional_attention(
+    q: jnp.ndarray,        # [B, T, Hq, D]
+    k: jnp.ndarray,        # [B, T, Hkv, D]
+    v: jnp.ndarray,        # [B, T, Hkv, D]
+    key_bias: jnp.ndarray,  # f32 [B, T]: 0 attend / -1e9 masked key
+    rep: int = 1,
+    tq: int = 256,
+    chunk: int = 512,
+    out_dtype=None,
+):
+    """softmax(q k^T / sqrt(d) + key_bias) v for ENCODER layers without
+    materializing the [Hq, T, T] scores. Measured on one v5e (bert-base
+    heads/dims): isolated 1.35x over XLA at s=512 and 2.0x at s=2048;
+    FULL-MODEL bert-base w8a8 at B=16 s=512: 597 -> 1,058 seq/s
+    (1.77x). At s=128 the score tile fits VMEM and XLA's fused path
+    wins end-to-end, so the nn gate requires s >= 512. Same flash
+    recurrence as :func:`causal_attention`, every chunk visited (no
+    causal skip)."""
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    assert hq == hkv * rep, (q.shape, k.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    tq = min(tq, t)
+    chunk = min(chunk, t)
+    assert t % tq == 0 and t % chunk == 0, (t, tq, chunk)
+    n_q, n_chunks = t // tq, t // chunk
+
+    qv = _q_heads_to_kv_major(q, hkv, rep)
+    kv = k.transpose(0, 2, 1, 3)
+    vv = v.transpose(0, 2, 1, 3)
+    r = tq * rep
+
+    out = pl.pallas_call(
+        functools.partial(_bidir_kernel, n_chunks=n_chunks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, n_q, n_chunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, hkv, r, d), lambda bi, qi, c: (bi, 0, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hkv, chunk, d), lambda bi, qi, c: (bi, 0, c, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hkv, chunk, d), lambda bi, qi, c: (bi, 0, c, 0)
+                ),
+                # [B, 1, T] so the (sublane, lane) block dims tile:
+                # second-minor 1 equals the array dim, last = chunk
+                pl.BlockSpec((1, 1, chunk), lambda bi, qi, c: (bi, 0, c)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hkv, r, d), lambda bi, qi, c: (bi, 0, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hkv, r), jnp.float32),
+                pltpu.VMEM((hkv, r), jnp.float32),
+                pltpu.VMEM((hkv, r, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t * rep, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * hq * t * t * d,
+            bytes_accessed=2 * b * t * hkv * d * 2 + 2 * b * t * hq * d * 2,
+            transcendentals=b * hq * t * t,
+        ),
+        interpret=_INTERPRET,
+    )(qv, kv, vv, key_bias.astype(jnp.float32)[:, None, :])
+    return _kv_major_to_q_heads(out, t, rep)
+
+
+# ---------------------------------------------------------------------------
 # chunked prefill: INT8 cache past + in-chunk causal
 # ---------------------------------------------------------------------------
 
