@@ -173,3 +173,72 @@ def test_paged_prefix_speculative_matches(setup):
         return run_requests(eng, reqs)
 
     assert run(True) == run(False)
+
+
+def test_cancellation_storm_keeps_refcounts_sane(setup):
+    """Cancel requests at every lifecycle stage while prefix sharing is
+    active: page accounting must stay exact and survivors must finish."""
+    import threading
+
+    eng = make_engine(setup, True, slots=2, pool_pages=24)
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=8)
+                for p in _prompts() * 3]
+        cancel_targets = reqs[::3]
+        for i, r in enumerate(reqs):
+            eng.submit(r)
+            if i % 3 == 0:
+                threading.Timer(0.01 * (i % 5), r.cancel).start()
+        for r in reqs:
+            try:
+                r.result(timeout=180)
+            except Exception:
+                assert r in cancel_targets or r.error is not None
+        deadline = time.time() + 10
+        while time.time() < deadline and eng.active_count():
+            time.sleep(0.05)
+        granted = [p for pages in eng._slot_pages for p in pages]
+        free = list(eng._free_pages)
+        assert sorted(set(free)) == sorted(free)
+        for p in free:
+            assert eng._page_refs[p] == 0, p
+        for p in set(granted):
+            assert eng._page_refs[p] == granted.count(p)
+        assert len(set(free) | set(granted)) == eng.kv_pool_pages - 1
+        # engine still serves after the storm
+        out = eng.generate(_prompts()[0], max_new_tokens=4, timeout=120)
+        assert len(out) == 4
+    finally:
+        eng.stop()
+
+
+def test_prefix_hit_on_actively_decoding_source(setup):
+    """Sharing pages from a slot that is STILL DECODING: the source's
+    appends land in its own (unshared) pages, so both streams match
+    their solo runs."""
+    long_prompt = _prompts()[0]
+    solo_a = run_requests(
+        make_engine(setup, False, slots=1),
+        [GenerationRequest(prompt_ids=long_prompt, max_new_tokens=24)])[0]
+    solo_b = run_requests(
+        make_engine(setup, False, slots=1),
+        [GenerationRequest(prompt_ids=_prompts()[1], max_new_tokens=6)])[0]
+
+    eng = make_engine(setup, True, slots=2)
+    try:
+        started = []
+        a = GenerationRequest(prompt_ids=long_prompt, max_new_tokens=24,
+                              on_token=lambda t: started.append(t))
+        eng.submit(a)
+        deadline = time.time() + 60
+        while not started and time.time() < deadline:
+            time.sleep(0.02)
+        b = GenerationRequest(prompt_ids=_prompts()[1], max_new_tokens=6)
+        eng.submit(b)
+        got_b = b.result(timeout=120)
+        got_a = a.result(timeout=120)
+        assert got_a == solo_a
+        assert got_b == solo_b
+        assert eng.prefix_hits == 1
+    finally:
+        eng.stop()
