@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -170,12 +171,54 @@ def _stem_space_to_depth(p_conv1, x, dtype):
     return nn.conv2d(p, z, stride=1, padding=[(2, 1), (2, 1)], dtype=dtype)
 
 
+def _stem_fused(params, x, dtype):
+    """Whole stem (s2d conv + BN + ReLU + 3x3/2 maxpool) in one Pallas
+    kernel — the [B,112,112,64] conv activation never round-trips HBM
+    (ops/stem_kernel.py). Stem weights run bf16 in every quant mode
+    (first-conv-at-higher-precision, the standard INT8 recipe)."""
+    from ..ops import stem_kernel
+
+    w7 = nn.resolve_weight(params["conv1"]["w"], jnp.float32)  # [7,7,3,64]
+    w8 = jnp.zeros((4, 4, 2, 2, 3, 64), w7.dtype)
+    for u in range(7):
+        a = (u + 1) % 2
+        d = (u - 3 - a) // 2 + 2
+        for v in range(7):
+            b2 = (v + 1) % 2
+            e = (v - 3 - b2) // 2 + 2
+            w8 = w8.at[d, e, a, b2].set(w7[u, v])
+    w = w8.reshape(4 * 4 * 12, 64)
+    bn = params["bn1"]
+    scale = bn["gamma"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+    shift = bn["beta"] - bn["mean"] * scale
+    bsz, c, h, wd = x.shape
+    z = x.reshape(bsz, c, h // 2, 2, wd // 2, 2)
+    z = z.transpose(0, 2, 4, 3, 5, 1).reshape(bsz, h // 2, wd // 2, 4 * c)
+    zp = jnp.pad(z, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    return stem_kernel.fused_stem(zp, w, scale, shift, out_dtype=dtype)
+
+
+def _use_fused_stem(image: int, requested: bool) -> bool:
+    """EXPERIMENTAL opt-in (options.stem_fused): measured on one v5e
+    the fused kernel is ~6x SLOWER end-to-end than the XLA stem at
+    b128 (Mosaic relayout cost for the [29,112,48] tap slices and the
+    stride-2 pool pairing dominates the tiny stem FLOPs) — kept as a
+    correct, tested starting point for a future layout-native rewrite,
+    never auto-enabled."""
+    from ..ops import stem_kernel
+
+    return requested and image == 224 and (
+        nn.use_pallas() or stem_kernel._INTERPRET
+    )
+
+
 def _build_resnet(variant: str, options) -> ModelDefinition:
     kind, depths, groups, width_per_group = _VARIANTS[variant]
     expansion = 1 if kind == "basic" else 4
     image = int(options.get("image_size", 224))
     num_classes = int(options.get("num_classes", NUM_CLASSES))
     stem_s2d = bool(options.get("stem_s2d", image % 2 == 0))
+    stem_fused = bool(options.get("stem_fused", False))
 
     def init_params(rng: np.random.Generator):
         params: Dict[str, Any] = {
@@ -204,16 +247,23 @@ def _build_resnet(variant: str, options) -> ModelDefinition:
     def apply(params, inputs, dtype):
         x = inputs["input"]
         # wire layout is the reference's NCHW; flip once to TPU-native NHWC
-        if stem_s2d:
-            # NCHW wire input goes straight into the s2d stem
-            x = _stem_space_to_depth(params["conv1"], x.astype(dtype), dtype)
+        if stem_s2d and _use_fused_stem(image, stem_fused):
+            # whole stem in one Pallas kernel (conv act never hits HBM)
+            x = _stem_fused(params, x, dtype)
         else:
-            x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
-            x = nn.conv2d(params["conv1"], x, stride=2, padding=3,
-                          dtype=dtype)
-        x = nn.batch_norm_inference(params["bn1"], x)
-        x = jnp.maximum(x, 0)
-        x = nn.max_pool(x, window=3, stride=2, padding=[(1, 1), (1, 1)])
+            if stem_s2d:
+                # NCHW wire input goes straight into the s2d stem
+                x = _stem_space_to_depth(
+                    params["conv1"], x.astype(dtype), dtype
+                )
+            else:
+                x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+                x = nn.conv2d(params["conv1"], x, stride=2, padding=3,
+                              dtype=dtype)
+            x = nn.batch_norm_inference(params["bn1"], x)
+            x = jnp.maximum(x, 0)
+            x = nn.max_pool(x, window=3, stride=2,
+                            padding=[(1, 1), (1, 1)])
         for stage, depth in enumerate(depths, start=1):
             for i in range(depth):
                 stride = 2 if (stage > 1 and i == 0) else 1
