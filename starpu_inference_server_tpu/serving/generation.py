@@ -201,6 +201,9 @@ class _PrefillLanding:
     # logits fetch started at dispatch time (its wire RTT overlaps the
     # decode blocks in flight); None on paths that fetch synchronously
     fetch: object = None
+    # batched prefill: ``logits``/``fetch`` hold the whole [N, V] block
+    # shared by N landings; ``row`` selects this landing's vector
+    row: int = -1
 
 
 class GenerationEngine:
@@ -510,8 +513,9 @@ class GenerationEngine:
                 paged_verify_step,
             )
 
+            self._prefill_raw = partial(paged_prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                partial(paged_prefill, spec, dtype=self.dtype),
+                self._prefill_raw,
                 donate_argnums=(1,),
             )
             self._step_fn = partial(paged_decode_step, spec, dtype=self.dtype)
@@ -519,11 +523,25 @@ class GenerationEngine:
                 paged_verify_step, spec, dtype=self.dtype
             )
         else:
+            self._prefill_raw = partial(prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                partial(prefill, spec, dtype=self.dtype), donate_argnums=(1,)
+                self._prefill_raw, donate_argnums=(1,)
             )
             self._step_fn = partial(decode_step, spec, dtype=self.dtype)
             self._verify_fn = partial(verify_step, spec, dtype=self.dtype)
+        # batched prefill (one PROGRAM for N same-bucket admissions):
+        # over the tunneled backend each program launch costs ~7 ms
+        # device-side regardless of size, so a 16-request admission wave
+        # as 16 programs burns ~100 ms of pure boundary cost. Disabled
+        # under pipe meshes (shard_map prefill) and speculation (draft
+        # cache must advance in lockstep).
+        if self._pipe_stages:
+            self._prefill_raw = None
+            self._prefill_many = None
+        else:
+            self._prefill_many = jax.jit(
+                self._prefill_many_fn, donate_argnums=(1,)
+            )
         self._decode = jax.jit(
             self._decode_and_sample, donate_argnums=(1,)
         )
@@ -799,6 +817,23 @@ class GenerationEngine:
         # progress and the device-resident alive mask
         return cache, tokens, nxt, prog, alive
 
+    def _prefill_many_fn(self, params, cache, ids_b, lengths, slots):
+        """N same-bucket prefills chained in ONE program. ids_b int32
+        [N, bucket]; lengths/slots int32 [N]. Returns (cache,
+        logits [N, V]) — numerics identical to N sequential prefills
+        (each iteration is exactly the single-prefill body)."""
+        n = ids_b.shape[0]
+
+        def body(i, carry):
+            cache, out = carry
+            cache, logits = self._prefill_raw(
+                params, cache, ids_b[i], lengths[i], slots[i]
+            )
+            return cache, out.at[i].set(logits.astype(out.dtype))
+
+        out0 = jnp.zeros((n, self.spec.vocab), jnp.float32)
+        return jax.lax.fori_loop(0, n, body, (cache, out0))
+
     def _bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
             if b >= length:
@@ -940,6 +975,15 @@ class GenerationEngine:
         if self._prefilling is not None:
             self._advance_chunk(self._prefilling)
             return True
+        # simple (bucketed, non-prefix, non-chunked) admissions collect
+        # here and flush as BATCHED prefill programs on every exit path
+        batch: List[tuple] = []
+        try:
+            return self._admit_pending_inner(batch)
+        finally:
+            self._flush_prefill_batch(batch)
+
+    def _admit_pending_inner(self, batch: List[tuple]) -> bool:
         admitted = False
         while True:
             with self._lock:
@@ -1021,7 +1065,18 @@ class GenerationEngine:
                     )
                     self._advance_chunk(self._prefilling)
                     return True
-                self._prefill_into(free, request)
+                if (
+                    self._prefill_many is None
+                    or self._draft_params is not None
+                ):
+                    self._prefill_into(free, request)
+                else:
+                    # bucket validation must raise INSIDE this
+                    # per-request containment, not at flush time
+                    batch.append(
+                        (self._bucket_for(len(prompt)), free, request,
+                         prompt)
+                    )
             except BaseException as exc:  # noqa: BLE001
                 # the request is out of _pending and not yet in a slot: fail
                 # it here or its done event is never set. Per-request
@@ -1210,6 +1265,62 @@ class GenerationEngine:
                 )
             )
 
+    def _flush_prefill_batch(self, batch) -> None:
+        """Dispatch collected same-loop admissions as batched prefill
+        programs (power-of-two group sizes per bucket bound the
+        executable count; singletons take the per-request path)."""
+        if not batch:
+            return
+        groups: dict = {}
+        for bucket, slot, request, prompt in batch:
+            groups.setdefault(bucket, []).append((slot, request, prompt))
+        for bucket, items in groups.items():
+            i = 0
+            while i < len(items):
+                n = 1
+                while n * 2 <= len(items) - i and n * 2 <= 16:
+                    n *= 2
+                chunk = items[i:i + n]
+                i += n
+                if n == 1:
+                    self._prefill_into(chunk[0][0], chunk[0][1])
+                    continue
+                ids_b = np.zeros((n, bucket), np.int32)
+                lengths = np.zeros((n,), np.int32)
+                slots = np.zeros((n,), np.int32)
+                for j, (slot, request, prompt) in enumerate(chunk):
+                    ids_b[j, : len(prompt)] = prompt
+                    lengths[j] = len(prompt)
+                    slots[j] = slot
+                try:
+                    self.cache, logits_all = self._prefill_many(
+                        self.params, self.cache, jnp.asarray(ids_b),
+                        jnp.asarray(lengths), jnp.asarray(slots),
+                    )
+                except BaseException as exc:  # noqa: BLE001
+                    # mirror _prefill_into's per-request containment:
+                    # these requests are out of _pending and not in
+                    # _landings yet — fail them here or their done
+                    # events never set
+                    for slot, request, prompt in chunk:
+                        self._reserved.discard(slot)
+                        self._free_slot_pages(slot)
+                        request.error = exc
+                        request.done.set()
+                    if not isinstance(exc, ValueError):
+                        raise
+                    continue
+                self._dispatch_seq += 1
+                self._prefetch(logits_all)
+                fut = self._fetch_pool.submit(np.asarray, logits_all)
+                for j, (slot, request, prompt) in enumerate(chunk):
+                    self._landings.append(
+                        _PrefillLanding(
+                            request=request, slot=slot, logits=logits_all,
+                            seq=self._dispatch_seq, fetch=fut, row=j,
+                        )
+                    )
+
     def _prefill_into(self, slot: int, request: GenerationRequest) -> None:
         prompt = np.asarray(request.prompt_ids, np.int32)
         bucket = self._bucket_for(len(prompt))
@@ -1260,6 +1371,8 @@ class GenerationEngine:
             landing = self._landings[0]
             if not landing.request.cancel_flag.is_set():
                 fetched = self._fetch_result(landing.fetch, landing.logits)
+                if landing.row >= 0:  # batched prefill: shared [N, V]
+                    fetched = fetched[landing.row]
             self._landings.popleft()
             self._reserved.discard(landing.slot)
             if landing.request.cancel_flag.is_set():

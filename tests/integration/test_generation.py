@@ -112,3 +112,39 @@ def test_throughput_counters(engine):
     before = engine.generated_tokens
     engine.generate(np.asarray([5, 6], np.int32), max_new_tokens=3, timeout=120)
     assert engine.generated_tokens >= before + 3
+
+
+def test_batched_prefill_matches_sequential():
+    """A wave of same-bucket admissions dispatches as ONE batched
+    prefill program; tokens must equal one-at-a-time admission."""
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128,
+                                   "q_heads": 4, "kv_heads": 2,
+                                   "intermediate": 256, "vocab": 128})
+    params = init_params(spec, np.random.default_rng(0))
+    prompts = [np.asarray([3 + i, 7, 11 - i], np.int32) for i in range(6)]
+
+    solo = []
+    for p in prompts:
+        eng = GenerationEngine(spec, params, dtype=jnp.float32,
+                               num_slots=1, max_len=64,
+                               prefill_buckets=[8], steps_per_sync=2)
+        eng.start()
+        try:
+            solo.append(eng.generate(p, max_new_tokens=6, timeout=120))
+        finally:
+            eng.stop()
+
+    eng = GenerationEngine(spec, params, dtype=jnp.float32, num_slots=6,
+                           max_len=64, prefill_buckets=[8],
+                           steps_per_sync=2, decode_overlap=True)
+    eng.start()
+    try:
+        reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=6)
+                for p in prompts]
+        # submit before start of admission so one loop pass sees all 6
+        for r in reqs:
+            eng.submit(r)
+        got = [r.result(timeout=120) for r in reqs]
+        assert got == solo
+    finally:
+        eng.stop()
