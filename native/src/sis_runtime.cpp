@@ -1,5 +1,5 @@
 // Native data-plane runtime: aligned staging buffers + parallel batch
-// assembly + a bounded MPMC token queue.
+// assembly.
 //
 // Reference counterpart: the C++ slot pools and SlotManager staging copy
 // (src/core/input_slot_pool.cpp, src/starpu_task_worker/
@@ -179,89 +179,5 @@ void sis_parallel_copy(void** dsts, const void** srcs, const size_t* sizes,
   }
   g_pool->Run(tasks.data(), static_cast<int>(tasks.size()));
 }
-
-// ---------------------------------------------------------------------------
-// Bounded MPMC token queue (job handles as opaque 64-bit tokens)
-// Reference counterpart: InferenceQueue (inference_queue.hpp:24-184);
-// the Python layer maps tokens -> job objects so this queue stays
-// GIL-free.
-// ---------------------------------------------------------------------------
-
-namespace {
-
-class TokenQueue {
- public:
-  explicit TokenQueue(size_t cap) : cap_(cap), closed_(false), shutdown_(false) {}
-
-  // 0 = ok, 1 = full, 2 = closed
-  int Push(uint64_t token) {
-    {
-      std::lock_guard<std::mutex> lock(mu_);
-      if (shutdown_ || closed_) return 2;
-      if (items_.size() >= cap_) return 1;
-      items_.push_back(token);
-    }
-    cv_.notify_one();
-    return 0;
-  }
-
-  // 0 = ok (token set), 1 = timeout, 2 = shutdown+empty
-  int Pop(uint64_t* token, int64_t timeout_us) {
-    std::unique_lock<std::mutex> lock(mu_);
-    auto ready = [this] { return !items_.empty() || shutdown_; };
-    if (timeout_us < 0) {
-      cv_.wait(lock, ready);
-    } else if (!cv_.wait_for(lock, std::chrono::microseconds(timeout_us), ready)) {
-      return 1;
-    }
-    if (items_.empty()) return 2;
-    *token = items_.front();
-    items_.erase(items_.begin());
-    return 0;
-  }
-
-  size_t Size() {
-    std::lock_guard<std::mutex> lock(mu_);
-    return items_.size();
-  }
-
-  void CloseForPush() {
-    std::lock_guard<std::mutex> lock(mu_);
-    closed_ = true;
-  }
-
-  void Shutdown() {
-    {
-      std::lock_guard<std::mutex> lock(mu_);
-      shutdown_ = true;
-      closed_ = true;
-    }
-    cv_.notify_all();
-  }
-
- private:
-  size_t cap_;
-  std::vector<uint64_t> items_;
-  std::mutex mu_;
-  std::condition_variable cv_;
-  bool closed_;
-  bool shutdown_;
-};
-
-}  // namespace
-
-void* sis_queue_create(size_t capacity) { return new TokenQueue(capacity); }
-void sis_queue_destroy(void* q) { delete static_cast<TokenQueue*>(q); }
-int sis_queue_push(void* q, uint64_t token) {
-  return static_cast<TokenQueue*>(q)->Push(token);
-}
-int sis_queue_pop(void* q, uint64_t* token, int64_t timeout_us) {
-  return static_cast<TokenQueue*>(q)->Pop(token, timeout_us);
-}
-size_t sis_queue_size(void* q) { return static_cast<TokenQueue*>(q)->Size(); }
-void sis_queue_close_for_push(void* q) {
-  static_cast<TokenQueue*>(q)->CloseForPush();
-}
-void sis_queue_shutdown(void* q) { static_cast<TokenQueue*>(q)->Shutdown(); }
 
 }  // extern "C"

