@@ -182,6 +182,9 @@ class InferenceServer:
                 draft_spec=draft_spec,
                 draft_params=draft_params,
                 speculate_k=int(opts.get("speculate_k", 4)),
+                # prompt-lookup speculation: n-gram drafts from the
+                # sequence's own history, no draft model needed
+                prompt_lookup_ngram=int(opts.get("prompt_lookup_ngram", 0)),
                 pipe_microgroups=int(opts.get("pipe_microgroups", 0)),
                 prefix_cache=bool(opts.get("prefix_cache", False)),
                 prefix_cache_min=int(opts.get("prefix_cache_min", 16)),

@@ -59,6 +59,44 @@ def _sample_tokens(logits, temps, top_k, step_keys):
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _ngram_drafts(history, len_h, k: int, n: int):
+    """Prompt-lookup draft proposal, fully on device.
+
+    ``history`` int32 [S, T] holds each slot's prompt + emitted tokens;
+    ``len_h`` int32 [S] is the number of valid tokens (the last one is
+    the current input token). The query is the trailing ``n``-gram;
+    every window position p < len_h - n is compared and the MOST RECENT
+    match wins (recent context predicts the continuation best). The
+    ``k`` tokens after the match are the drafts; positions at or past
+    ``len_h`` are masked to 0 so a draft never leaks a previous
+    request's tokens from a reused slot.
+
+    Returns (drafts int32 [S, k], found bool [S]). Cost is O(S*T*n)
+    int32 VPU compares — noise next to a model forward."""
+    s, t = history.shape
+    # query = history[len_h-n : len_h]                            [S, n]
+    qidx = jnp.clip(len_h[:, None] - n + jnp.arange(n)[None, :], 0, t - 1)
+    q = jnp.take_along_axis(history, qidx, axis=1)
+    # windows[s, p, :] = history[s, p : p+n]               [S, T-n+1, n]
+    windows = jnp.stack(
+        [history[:, j: t - n + 1 + j] for j in range(n)], axis=2
+    )
+    p_idx = jnp.arange(t - n + 1)[None, :]
+    valid = p_idx < (len_h - n)[:, None]  # strictly before the query
+    eq = (windows == q[:, None, :]).all(axis=-1) & valid
+    found = eq.any(axis=1)
+    # last (most recent) match: argmax over the reversed mask
+    p_star = (t - n) - jnp.argmax(eq[:, ::-1], axis=1)
+    cont = p_star + n
+    didx = cont[:, None] + jnp.arange(k)[None, :]
+    drafts = jnp.take_along_axis(
+        history, jnp.clip(didx, 0, t - 1), axis=1
+    )
+    # only known tokens may be drafted
+    drafts = jnp.where(didx < len_h[:, None], drafts, 0)
+    return drafts, found
+
+
 def _copy_slot_rows(cache: "KVCache", src, dst) -> "KVCache":
     """Copy slot ``src``'s whole KV rows (every layer, full context) over
     slot ``dst`` — the device side of a prefix-cache hit. Rows past the
@@ -222,6 +260,7 @@ class GenerationEngine:
         draft_spec: Optional[DecoderSpec] = None,
         draft_params=None,
         speculate_k: int = 4,
+        prompt_lookup_ngram: int = 0,
         pipe_microgroups: int = 0,
         prefix_cache: bool = False,
         prefix_cache_min: int = 16,
@@ -474,6 +513,34 @@ class GenerationEngine:
                 self._speculative_block, donate_argnums=(2, 3)
             )
 
+        # prompt-lookup speculation: drafts come from the sequence's own
+        # token history (device-resident [S, max_len] buffer) — no draft
+        # model, the verify machinery is shared with the model-draft
+        # path. Mutually exclusive with a draft model; single-device
+        # only (the history scatter is not sharded).
+        self._lookup_ngram = max(0, int(prompt_lookup_ngram))
+        if self._lookup_ngram:
+            if draft_spec is not None:
+                raise ValueError(
+                    "prompt_lookup_ngram and draft_variant are mutually "
+                    "exclusive draft sources"
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "prompt_lookup_ngram does not compose with mesh "
+                    "decoding yet (history buffer is unsharded)"
+                )
+            self._history = jax.device_put(
+                jnp.zeros((num_slots, max_len), jnp.int32)
+            )
+            self._lookup_decode = jax.jit(
+                self._prompt_lookup_block, donate_argnums=(1, 2)
+            )
+            self._seed_history = jax.jit(
+                lambda history, row, slot: history.at[slot].set(row),
+                donate_argnums=(0,),
+            )
+
         # jit: cache buffers donated -> in-place updates on device
         if self._pipe_stages:
             from ..parallel.pipeline_decode import (
@@ -663,6 +730,131 @@ class GenerationEngine:
 
     # -- device fns --------------------------------------------------------
 
+    def _verify_accept(self, tparams, tcache, cur, drafts, alive, temps,
+                       top_k, seeds, progress, eos, limit):
+        """Shared verify-and-commit for every draft source (model draft
+        or prompt-lookup): score the [cur, drafts] window with ONE
+        target forward, accept the longest draft prefix matching the
+        target's greedy tokens plus the target's own correction/bonus
+        token, then clamp the commit count ON DEVICE to the slot's
+        remaining budget and to the first EOS inside the window (the
+        device-side completion contract of ``_decode_and_sample``).
+        Sampled slots accept no drafts — they emit exactly one verified
+        token per block with the sequential PRNG fold, so a request
+        samples the same tokens as the plain engine.
+
+        Returns (tcache, out [S, K+1], counts [S], accepted_raw [S],
+        nxt [S], alive_next [S], progress [S], new_len [S])."""
+        k = self.speculate_k
+        start = tcache.lengths
+        window = jnp.concatenate([cur[:, None], drafts], 1)   # [S, K+1]
+        tcache, logits = self._verify_fn(
+            tparams, tcache, window, alive
+        )
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        matches = drafts == greedy[:, :k]
+        accepted = jnp.cumprod(matches.astype(jnp.int32), axis=1).sum(
+            axis=1
+        )
+        sampled = temps > 0
+        step_keys = jax.vmap(
+            lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg)
+        )(seeds, progress)
+        first = _sample_tokens(logits[:, 0], temps, top_k, step_keys)
+        accepted = jnp.where(sampled, 0, accepted)
+        out = greedy.at[:, 0].set(first)
+        # budget clamp first (the host emits at most ``remaining``
+        # tokens), then stop at the first EOS among the survivors
+        counts = jnp.minimum(
+            accepted + 1, jnp.maximum(limit - progress, 0)
+        )
+        emit = jnp.arange(k + 1)[None, :] < counts[:, None]
+        hits = emit & (out == eos[:, None]) & (eos[:, None] >= 0)
+        any_eos = hits.any(axis=1)
+        first_eos = jnp.argmax(hits, axis=1)
+        counts = jnp.where(any_eos, first_eos + 1, counts)
+        counts = jnp.where(alive, counts, 0)
+        progress = progress + counts
+        done = alive & (any_eos | (progress >= limit))
+        new_len = start + counts
+        tcache = tcache._replace(lengths=new_len)
+        nxt = jnp.take_along_axis(
+            out, jnp.maximum(counts - 1, 0)[:, None], axis=1
+        )[:, 0]
+        nxt = jnp.where(counts > 0, nxt, cur)
+        return (tcache, out, counts, accepted, nxt, alive & ~done,
+                progress, new_len)
+
+    def _prompt_lookup_block(self, tparams, tcache, history, ids, active,
+                             temps, top_k, seeds, progress, eos, limit):
+        """One sync of PROMPT-LOOKUP speculative decoding: drafts come
+        from the sequence's own token history instead of a draft model —
+        the last ``lookup_ngram`` tokens are matched against every
+        earlier position in (prompt + generated so far) and the K tokens
+        following the most recent match are proposed, then verified with
+        the shared ``_verify_accept`` machinery. No trained draft
+        weights are needed, and drafting costs VPU comparisons instead
+        of a model forward — the win on repetition-heavy workloads
+        (doc-QA, code editing, summarization-with-quotes) where the
+        output restates spans of the prompt. Net-new vs the reference
+        (no decoders there at all — SURVEY.md section 5.7); technique:
+        prompt-lookup / n-gram speculative decoding (PAPERS.md).
+
+        ``history`` int32 [S, max_len] carries prompt + emitted tokens
+        per slot ON DEVICE and is maintained inside the block (cur is
+        written at position ``lengths``, committed tokens behind it), so
+        the only host-side maintenance is seeding the prompt rows at
+        admission. Packed layout matches ``_speculative_block`` —
+        [blocks, S, K+3] — so dispatch/consume are shared."""
+        k = self.speculate_k
+        n = self._lookup_ngram
+        s = ids.shape[0]
+        t = history.shape[1]
+
+        def one_block(carry, _):
+            tcache, history, cur, alive, progress = carry
+            start = tcache.lengths
+            rows = jnp.arange(s)
+            # cur is the last emitted-but-unconsumed token: it lives at
+            # position start (cache rows 0..start-1 hold consumed tokens)
+            pos_cur = jnp.clip(start, 0, t - 1)
+            history = history.at[rows, pos_cur].set(
+                jnp.where(alive, cur, history[rows, pos_cur])
+            )
+            len_h = start + 1
+            drafts, found = _ngram_drafts(history, len_h, k, n)
+            drafts = jnp.where(
+                (found & alive)[:, None], drafts, 0
+            )
+            (tcache, out, counts, accepted, nxt, alive_next, progress,
+             new_len) = self._verify_accept(
+                tparams, tcache, cur, drafts, alive, temps, top_k, seeds,
+                progress, eos, limit,
+            )
+            # write the committed tokens into the history so the NEXT
+            # block (and future lookups) see them: out[j] is the token
+            # at absolute position start+1+j for j < counts
+            pos = jnp.clip(start[:, None] + 1 + jnp.arange(k + 1)[None, :],
+                           0, t - 1)
+            emit = (jnp.arange(k + 1)[None, :] < counts[:, None]) \
+                & alive[:, None]
+            history = history.at[rows[:, None], pos].set(
+                jnp.where(emit, out, history[rows[:, None], pos])
+            )
+            packed = jnp.concatenate(
+                [out, counts[:, None], jnp.where(alive, accepted, 0)[:, None]],
+                axis=1,
+            )
+            return (tcache, history, nxt, alive_next, progress), packed
+
+        (tcache, history, nxt, alive, progress), packed = jax.lax.scan(
+            one_block,
+            (tcache, history, ids, active, progress),
+            None,
+            length=self.steps_per_sync,
+        )
+        return tcache, history, packed, nxt, progress, alive
+
     def _speculative_block(self, tparams, dparams, tcache, dcache, ids,
                            active, temps, top_k, seeds, progress, eos,
                            limit):
@@ -708,54 +900,17 @@ class GenerationEngine:
                 0, k + 1, draft_body, (dcache, cur, toks0)
             )
             drafts = drafts[:k].T                                 # [S, K]
-            window = jnp.concatenate([cur[:, None], drafts], 1)   # [S, K+1]
-            start = tcache.lengths
-            tcache, logits = self._verify_fn(
-                tparams, tcache, window, alive
+            (tcache, out, counts, accepted, nxt, alive_next, progress,
+             new_len) = self._verify_accept(
+                tparams, tcache, cur, drafts, alive, temps, top_k, seeds,
+                progress, eos, limit,
             )
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            # accept the longest prefix of drafts matching the target's
-            # greedy tokens; the token after it is the target's own
-            # (correction/bonus), so every block emits accepted+1 tokens
-            matches = drafts == greedy[:, :k]
-            accepted = jnp.cumprod(matches.astype(jnp.int32), axis=1).sum(
-                axis=1
-            )
-            sampled = temps > 0
-            step_keys = jax.vmap(
-                lambda sd, pg: jax.random.fold_in(jax.random.PRNGKey(sd), pg)
-            )(seeds, progress)
-            first = _sample_tokens(logits[:, 0], temps, top_k, step_keys)
-            # sampled slots accept no drafts: they emit exactly one
-            # verified token per block with the sequential PRNG fold
-            accepted = jnp.where(sampled, 0, accepted)
-            out = greedy.at[:, 0].set(first)
-            # device-side termination: budget clamp first (the host
-            # emits at most ``remaining`` tokens), then stop at the
-            # first EOS among the tokens that survive the clamp
-            counts = jnp.minimum(
-                accepted + 1, jnp.maximum(limit - progress, 0)
-            )
-            emit = jnp.arange(k + 1)[None, :] < counts[:, None]
-            hits = emit & (out == eos[:, None]) & (eos[:, None] >= 0)
-            any_eos = hits.any(axis=1)
-            first_eos = jnp.argmax(hits, axis=1)
-            counts = jnp.where(any_eos, first_eos + 1, counts)
-            counts = jnp.where(alive, counts, 0)
-            progress = progress + counts
-            done = alive & (any_eos | (progress >= limit))
-            new_len = start + counts
-            tcache = tcache._replace(lengths=new_len)
             # the draft cache holds valid KV exactly up to the last
             # accepted token; the next block re-feeds the bonus token at
             # position new_len, so both caches commit to the same length
             dcache = dcache._replace(
                 lengths=jnp.where(alive, new_len, dcache.lengths)
             )
-            nxt = jnp.take_along_axis(
-                out, jnp.maximum(counts - 1, 0)[:, None], axis=1
-            )[:, 0]
-            nxt = jnp.where(counts > 0, nxt, cur)
             # pre-clamp accepted count rides along so the host's
             # acceptance-rate counter measures DRAFT quality, not
             # budget/EOS truncation
@@ -763,7 +918,7 @@ class GenerationEngine:
                 [out, counts[:, None], jnp.where(alive, accepted, 0)[:, None]],
                 axis=1,
             )
-            return (tcache, dcache, nxt, alive & ~done, progress), packed
+            return (tcache, dcache, nxt, alive_next, progress), packed
 
         (tcache, dcache, nxt, alive, progress), packed = jax.lax.scan(
             one_block,
@@ -853,7 +1008,11 @@ class GenerationEngine:
         # window still WRITES its K uncommitted rows past the final
         # length before acceptance is known, so only those rows need
         # buffer headroom.
-        headroom = self.speculate_k if self._draft_params is not None else 0
+        headroom = (
+            self.speculate_k
+            if (self._draft_params is not None or self._lookup_ngram)
+            else 0
+        )
         if len(request.prompt_ids) + request.max_new_tokens + headroom > self.max_len:
             raise ValueError(
                 f"prompt({len(request.prompt_ids)}) + max_new_tokens"
@@ -1032,6 +1191,16 @@ class GenerationEngine:
                     return admitted
             admitted = True
             self._reserved.add(free)  # until the prefill lands (or aborts)
+            if self._lookup_ngram:
+                # seed the slot's token history with the prompt (one
+                # tiny program per admission; the block fn maintains the
+                # generated tail on device). Stale tokens past the
+                # prompt are masked by len_h in the lookup.
+                row = np.zeros((self.max_len,), np.int32)
+                row[: len(prompt)] = prompt
+                self._history = self._seed_history(
+                    self._history, jnp.asarray(row), jnp.int32(free)
+                )
             try:
                 if hit is not None:
                     src, l_star = hit
@@ -1108,7 +1277,11 @@ class GenerationEngine:
         # device-side completion on both paths: the only overshoot is
         # the speculative verify window's K uncommitted rows (see
         # submit())
-        headroom = self.speculate_k if self._draft_params is not None else 0
+        headroom = (
+            self.speculate_k
+            if (self._draft_params is not None or self._lookup_ngram)
+            else 0
+        )
         need_tokens = (
             len(request.prompt_ids) + request.max_new_tokens + headroom
         )
@@ -1506,6 +1679,19 @@ class GenerationEngine:
         top_k = snap["top_k_dev"]
         seeds = snap["seeds_dev"]
         self._dispatch_seq += 1
+        if self._lookup_ngram:
+            (self.cache, self._history, packed, nxt, prog,
+             alive_out) = self._lookup_decode(
+                self.params, self.cache, self._history, ids,
+                active if alive is None else alive,
+                temps, top_k, seeds, progress,
+                snap["eos_dev"], snap["limit_dev"],
+            )
+            self._prefetch(packed)
+            return {"packed": packed, "nxt": nxt, "prog": prog,
+                    "snap": snap, "alive": alive_out,
+                    "seq": self._dispatch_seq,
+                    "fetch": self._fetch_pool.submit(np.asarray, packed)}
         if self._draft_params is not None:
             (self.cache, self._draft_cache, packed, nxt, prog,
              alive_out) = self._spec_decode(
