@@ -64,12 +64,23 @@ def resolve_weight(w, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.astype(dtype)
 
 
-def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16,
+          act_quant: bool = True) -> jnp.ndarray:
     """y = x @ w + b. ``p`` = {'w': [in,out] (dense or quantized), 'b'?}.
 
     On TPU with a quantized weight the fused dequant-matmul Pallas kernel
     is used for 2D activations; otherwise XLA gets a dequant+dot it can
     fuse itself.
+
+    ``act_quant=False`` opts this call out of W8A8 dynamic activation
+    quantization even when the mode is on (the weight still dequantizes
+    int8/int4): measured on one v5e, per-token quant+dequant fused
+    around the head-split/merge TRANSPOSES of attention projections
+    collapses throughput at large batch (bert-base w8a8 B=128 read
+    3,050 seq/s vs 6,267 bf16; the regression lives entirely in the
+    q/k/v/o denses — 12.1 vs 6.2 us/seq/layer — while FFN w8a8 is
+    FASTER than bf16). Attention projections therefore run weight-only;
+    FFN keeps the s8 x s8 path.
     """
     w = p["w"]
     rows = 1
@@ -78,7 +89,8 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     # Pallas fused dequant-matmul pays off in the memory-bound regime
     # (few rows, big weights — decode steps); at large M XLA's fused
     # dequant+dot is already at the MXU roofline.
-    if is_packed_int4_leaf(w) and _USE_PALLAS and _W8A8:
+    use_w8a8 = _W8A8 and act_quant
+    if is_packed_int4_leaf(w) and _USE_PALLAS and use_w8a8:
         # W4A8: per-token int8 activations x packed-int4 weights on the
         # s8 x s8 MXU path (QuantMode.W4A8 — BASELINE config 5 at
         # encoder/prefill M, where the MXU rate doubles; at decode M the
@@ -96,7 +108,7 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
         x2 = x.reshape(rows, x.shape[-1])
         y = int4_matmul(x2.astype(dtype), w["w_p4"], w["scale"])
         y = y.reshape(*x.shape[:-1], -1)
-    elif is_packed_int4_leaf(w) and _W8A8:
+    elif is_packed_int4_leaf(w) and use_w8a8:
         # W4A8 without Pallas (CPU tests / mesh programs): unpack to the
         # int8 carrier and run the same s8 x s8 contraction in XLA
         from .quant import quantize_activations
@@ -119,7 +131,7 @@ def dense(p, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
         x2 = x.reshape(rows, x.shape[-1])
         y = int8_matmul(x2.astype(dtype), w["w_q"], w["scale"])
         y = y.reshape(*x.shape[:-1], -1)
-    elif is_quantized_leaf(w) and _W8A8:
+    elif is_quantized_leaf(w) and use_w8a8:
         # W8A8: per-token dynamic activation quant feeds the s8 x s8 ->
         # s32 MXU; the int32 result rescales by (row scale x channel
         # scale). Also correct for int4-valued carriers in [-7,7].
@@ -270,16 +282,61 @@ def _attention(q, k, v, mask, num_heads: int, dtype) -> jnp.ndarray:
         return t.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q), split(k), split(v)
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(head_dim))
-    if mask is not None:
+    if mask is not None and mask.ndim == 2:
         # mask: [b, s] (1 = attend) or [b, 1, q, k]
-        if mask.ndim == 2:
-            mask = mask[:, None, None, :]
-        logits = jnp.where(mask.astype(bool), logits, jnp.float32(-1e9))
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
+        mask = mask[:, None, None, :]
+
+    def core(qh, kh, vh, mask4):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(head_dim))
+        if mask4 is not None:
+            logits = jnp.where(
+                mask4.astype(bool), logits, jnp.float32(-1e9)
+            )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, vh,
+            preferred_element_type=jnp.float32,
+        )
+
+    # Fusion-threshold batch chunking: past ~64*12*128*128 score
+    # elements XLA stops keeping the [B,H,S,S] scores/probs on-chip and
+    # their HBM round trip goes superlinear (measured on one v5e at
+    # s=128: B=64 sdpa 0.055 ms, B=128 0.368 ms whole vs 0.159 ms as a
+    # scan over two 64-row chunks — 2.3x). Chunking the batch keeps
+    # every chunk inside the fused regime; a lax.scan emits ONE compiled
+    # chunk body regardless of chunk count.
+    score_elems = b * num_heads * s * s
+    limit = 64 * 12 * 128 * 128
+    if score_elems > limit:
+        max_chunk = max(1, limit // (num_heads * s * s))
+        chunk = 1
+        for c in range(1, b + 1):
+            if b % c == 0 and c <= max_chunk:
+                chunk = c
+        if chunk < b:
+            nb = b // chunk
+
+            def resh(t):
+                return t.reshape((nb, chunk) + t.shape[1:])
+
+            def body(_, args):
+                qc, kc, vc, mc = args
+                return None, core(qc, kc, vc, mc)
+
+            mask_c = (
+                resh(mask) if mask is not None
+                else jnp.zeros((nb, chunk, 1, 1, 1), jnp.int32) + 1
+            )
+            _, out = jax.lax.scan(
+                body, None, (resh(qh), resh(kh), resh(vh), mask_c)
+            )
+            out = out.reshape((b,) + out.shape[2:])
+        else:
+            out = core(qh, kh, vh, mask)
+    else:
+        out = core(qh, kh, vh, mask)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(dtype)
 
 
@@ -294,12 +351,17 @@ def multi_head_attention(
     scaled-dot-product attention + output projection).
 
     ``p`` = {'q','k','v','o'} each a dense-layer param dict.
+
+    Projections run with ``act_quant=False``: under W8A8 the per-token
+    quant/dequant fused around the head-split/merge transposes measured
+    2x slower at B=128 than weight-only dequant (see ``dense``); the
+    FFN — where the mode actually pays — keeps full W8A8.
     """
-    q = dense(p["q"], x, dtype)
-    k = dense(p["k"], x, dtype)
-    v = dense(p["v"], x, dtype)
+    q = dense(p["q"], x, dtype, act_quant=False)
+    k = dense(p["k"], x, dtype, act_quant=False)
+    v = dense(p["v"], x, dtype, act_quant=False)
     out = _attention(q, k, v, mask, num_heads, dtype)
-    return dense(p["o"], out, dtype)
+    return dense(p["o"], out, dtype, act_quant=False)
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.ndarray:
