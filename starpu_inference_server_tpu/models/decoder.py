@@ -559,15 +559,36 @@ def decode_step(
         if _use_fused_decode_attention(spec, t_max):
             from ..ops.decode_attention import decode_attention
 
-            attn = decode_attention(
-                q[:, 0],
-                cache.k[li],
-                cache.v[li],
-                cache.k_scale[li],
-                cache.v_scale[li],
-                positions,
-                rep=rep,
-            ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+            # S <= 16: pass the WHOLE layered cache and let the
+            # BlockSpec index the layer — cache.k[li] materializes a
+            # contiguous slice per tensor per layer, and killing those
+            # copies measured dense-16 raw decode 3,976 -> 6,227 tok/s
+            # on one v5e. At S >= 32 the same layered operands flip
+            # XLA's scatter aliasing into whole-cache copy-on-write
+            # (raw collapses to ~2k tok/s), so larger slot counts keep
+            # the sliced operands. Both paths use the slot-GROUPED
+            # kernel grid.
+            if s <= 16:
+                attn = decode_attention(
+                    q[:, 0],
+                    cache.k,
+                    cache.v,
+                    cache.k_scale,
+                    cache.v_scale,
+                    positions,
+                    rep=rep,
+                    layer=li,
+                ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+            else:
+                attn = decode_attention(
+                    q[:, 0],
+                    cache.k[li],
+                    cache.v[li],
+                    cache.k_scale[li],
+                    cache.v_scale[li],
+                    positions,
+                    rep=rep,
+                ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         else:
             k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
             v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)

@@ -337,6 +337,11 @@ def paged_decode_step(
         if use_fused:
             from ..ops.decode_attention import paged_decode_attention
 
+            # NOTE: the layer-pinned whole-pool variant (layer=li, as in
+            # the dense S<=16 path) was measured and REGRESSES here —
+            # paged-64 raw fell 7.2k -> 3.1k tok/s, the same
+            # whole-array scatter copy-on-write blowup the dense S>=32
+            # path hits — so the paged call keeps sliced operands.
             attn = paged_decode_attention(
                 q[:, 0], cache.k[li], cache.v[li],
                 cache.k_scale[li], cache.v_scale[li],

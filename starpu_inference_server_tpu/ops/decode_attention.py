@@ -108,26 +108,213 @@ def _kernel(
         o_ref[0] = out.reshape(hq, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rep", "chunk", "out_dtype"))
+def _grouped_kernel(
+    len_ref,      # scalar-prefetch: int32 [S]
+    q_ref,        # [G, Hq, D]
+    k_ref,        # int8 [G, C, Hkv, D]
+    v_ref,        # int8 [G, C, Hkv, D]
+    ks_ref,       # f32 [G, C, Hkv]
+    vs_ref,       # f32 [G, C, Hkv]
+    o_ref,        # [G, Hq, D]
+    m_scr,        # f32 [G, Hkv, rep]
+    l_scr,        # f32 [G, Hkv, rep]
+    acc_scr,      # f32 [G, Hkv, rep, D]
+    *,
+    chunk: int,
+    n_chunks: int,
+    rep: int,
+    group: int,
+    layered: bool = False,
+):
+    """Slot-GROUPED decode attention body: one grid step advances
+    ``group`` slots through one KV chunk. The per-slot grid
+    (``_kernel``) pays ~1.4 us of sequencer/DMA-issue overhead per
+    (slot, chunk) step — at 64 slots x 8 chunks x 16 layers that is
+    ~11 ms/decode-step of pure grid overhead, 6x the weight-read
+    roofline (measured round 4; the matmul spine alone runs 1.7
+    ms/step). Grouping cuts grid steps by ``group``x while keeping the
+    same chunked online-softmax recurrence and per-slot length masks."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # Mosaic allows only SCALAR loads from SMEM: read the group's
+    # lengths as ``group`` scalars (static unroll)
+    lens = [len_ref[i * group + g] for g in range(group)]
+    max_len = functools.reduce(jnp.maximum, lens)
+
+    # the whole group skips chunks past its LONGEST slot; per-slot
+    # masking below keeps shorter slots exact
+    @pl.when(c * chunk <= max_len)
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hkv = hq // rep
+        # Mosaic matmuls take at most ONE batch dim: merge (G, Hkv)
+        q = q_ref[:].reshape(group * hkv, rep, d).astype(jnp.float32)
+
+        k_raw = k_ref[0] if layered else k_ref[:]
+        v_raw = v_ref[0] if layered else v_ref[:]
+        ks_raw = ks_ref[0] if layered else ks_ref[:]
+        vs_raw = vs_ref[0] if layered else vs_ref[:]
+        k = k_raw.astype(jnp.float32) * ks_raw[..., None]        # [G,C,Hkv,D]
+        v = v_raw.astype(jnp.float32) * vs_raw[..., None]
+        kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(
+            group * hkv, chunk, d
+        )
+        vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(
+            group * hkv, chunk, d
+        )
+
+        # logits[(g kv), rep, t] = q[(g kv), rep, :] . k[(g kv), t, :]
+        logits = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(d)                                      # [G*Hkv,rep,C]
+
+        pos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, 1, chunk), 2
+        )
+        # per-slot length along the merged (g, kv) rows via a static
+        # select chain (gather/repeat reshapes don't lower in Mosaic)
+        row_g = jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, 1, chunk), 0
+        ) // hkv
+        lens_row = jnp.full((group * hkv, 1, chunk), lens[0], jnp.int32)
+        for g in range(1, group):
+            lens_row = jnp.where(row_g == g, lens[g], lens_row)
+        logits = jnp.where(pos <= lens_row, logits, -1e30)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])                # [G*Hkv,rep,C]
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+        m_scr[:] = m_new
+
+        pv = jax.lax.dot_general(
+            p, vt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [G*Hkv,rep,D]
+        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[:] = out.reshape(group, hq, d).astype(o_ref.dtype)
+
+
+def _pick_group(s: int, limit: int = 8) -> int:
+    """Largest divisor of ``s`` that is <= limit."""
+    g = 1
+    for c in range(1, min(s, limit) + 1):
+        if s % c == 0:
+            g = c
+    return g
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rep", "chunk", "out_dtype", "layer"))
 def decode_attention(
     q: jnp.ndarray,        # [S, Hq, D] (bf16/f32)
-    k_cache: jnp.ndarray,  # int8 [S, T, Hkv, D]
-    v_cache: jnp.ndarray,  # int8 [S, T, Hkv, D]
-    k_scale: jnp.ndarray,  # f32 [S, T, Hkv]
-    v_scale: jnp.ndarray,  # f32 [S, T, Hkv]
+    k_cache: jnp.ndarray,  # int8 [S, T, Hkv, D] — or [L, S, T, Hkv, D]
+    v_cache: jnp.ndarray,  # int8 (same)
+    k_scale: jnp.ndarray,  # f32 [S, T, Hkv] — or [L, S, T, Hkv]
+    v_scale: jnp.ndarray,  # f32 (same)
     lengths: jnp.ndarray,  # int32 [S] — attend to positions <= lengths[s]
     rep: int,
     chunk: int = 128,
     out_dtype=None,
+    layer: int = -1,
 ):
+    """``layer >= 0``: the caller passes the WHOLE layered cache
+    [L, S, T, Hkv, D] and the BlockSpec indexes the layer — feeding a
+    python-level ``cache.k[li]`` slice instead materializes a ~34 MB
+    contiguous temp per k/v/scale per layer (measured ~0.5 ms/layer on
+    one v5e, 3x the kernel's own runtime at short contexts)."""
+    if layer >= 0:
+        assert k_cache.ndim == 5, k_cache.shape
     s, hq, d = q.shape
-    t = k_cache.shape[1]
-    hkv = k_cache.shape[2]
+    t = k_cache.shape[-3]
+    hkv = k_cache.shape[-2]
     assert hq == hkv * rep, (q.shape, k_cache.shape, rep)
     out_dtype = out_dtype or q.dtype
     chunk = min(chunk, t)
     assert t % chunk == 0, (t, chunk)
     n_chunks = t // chunk
+
+    group = _pick_group(s)
+    if group > 1:
+        def g_idx(i, c, lens):
+            m = lens[i * group]
+            for g in range(1, group):
+                m = jnp.maximum(m, lens[i * group + g])
+            return jnp.minimum(c, m // chunk)
+
+        if layer >= 0:
+            # layered cache: a leading size-1 block dim pinned at
+            # ``layer`` — the DMA reads straight out of the big array
+            kv_spec = pl.BlockSpec(
+                (1, group, chunk, hkv, d),
+                lambda i, c, lens: (layer, i, g_idx(i, c, lens), 0, 0),
+            )
+            sc_spec = pl.BlockSpec(
+                (1, group, chunk, hkv),
+                lambda i, c, lens: (layer, i, g_idx(i, c, lens), 0),
+            )
+        else:
+            kv_spec = pl.BlockSpec(
+                (group, chunk, hkv, d),
+                lambda i, c, lens: (i, g_idx(i, c, lens), 0, 0),
+            )
+            sc_spec = pl.BlockSpec(
+                (group, chunk, hkv),
+                lambda i, c, lens: (i, g_idx(i, c, lens), 0),
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(s // group, n_chunks),
+            in_specs=[
+                pl.BlockSpec((group, hq, d), lambda i, c, *_: (i, 0, 0)),
+                kv_spec, kv_spec, sc_spec, sc_spec,
+            ],
+            out_specs=pl.BlockSpec((group, hq, d), lambda i, c, *_: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group * hkv, rep), jnp.float32),
+                pltpu.VMEM((group * hkv, rep), jnp.float32),
+                pltpu.VMEM((group * hkv, rep, d), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _grouped_kernel, chunk=chunk, n_chunks=n_chunks, rep=rep,
+                group=group, layered=layer >= 0,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((s, hq, d), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * s * hq * t * d,
+                bytes_accessed=2 * s * t * hkv * d + s * hq * d * 4,
+                transcendentals=s * hq * t,
+            ),
+            interpret=_INTERPRET,
+        )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
+    if layer >= 0:
+        # ungrouped layered path: fall back to the sliced call (only hit
+        # when S has no divisor > 1, i.e. S == 1 serving)
+        return decode_attention(
+            q, k_cache[layer], v_cache[layer], k_scale[layer],
+            v_scale[layer], lengths, rep=rep, chunk=chunk,
+            out_dtype=out_dtype,
+        )
 
     def kv_idx(i, c, lens):
         # clamp to the slot's last live chunk: the index stops changing
@@ -194,21 +381,27 @@ def _paged_window_kernel(len_ref, tbl_ref, *rest, chunk, n_chunks, rep):
     _window_kernel(len_ref, *rest, chunk=chunk, n_chunks=n_chunks, rep=rep)
 
 
-@functools.partial(jax.jit, static_argnames=("rep", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("rep", "out_dtype", "layer"))
 def paged_decode_attention(
     q: jnp.ndarray,        # [S, Hq, D] (bf16/f32)
-    k_pool: jnp.ndarray,   # int8 [N, page, Hkv, D]
-    v_pool: jnp.ndarray,   # int8 [N, page, Hkv, D]
-    k_scale: jnp.ndarray,  # f32 [N, page, Hkv]
-    v_scale: jnp.ndarray,  # f32 [N, page, Hkv]
+    k_pool: jnp.ndarray,   # int8 [N, page, Hkv, D] — or [L, N, page, Hkv, D]
+    v_pool: jnp.ndarray,   # int8 (same)
+    k_scale: jnp.ndarray,  # f32 [N, page, Hkv] — or [L, N, page, Hkv]
+    v_scale: jnp.ndarray,  # f32 (same)
     table: jnp.ndarray,    # int32 [S, max_pages]
     lengths: jnp.ndarray,  # int32 [S] — attend to positions <= lengths[s]
     rep: int,
     out_dtype=None,
+    layer: int = -1,
 ):
+    """``layer >= 0``: the whole layered pool is passed and a squeezed
+    (None) leading block dim pins the layer — avoids materializing a
+    per-layer contiguous slice temp (the dense decode_attention fix)."""
+    if layer >= 0:
+        assert k_pool.ndim == 5, k_pool.shape
     s, hq, d = q.shape
-    page = k_pool.shape[1]
-    hkv = k_pool.shape[2]
+    page = k_pool.shape[-3]
+    hkv = k_pool.shape[-2]
     assert hq == hkv * rep, (q.shape, k_pool.shape, rep)
     out_dtype = out_dtype or q.dtype
     n_chunks = table.shape[1]
@@ -218,27 +411,31 @@ def paged_decode_attention(
         # table maps it to a pool page (same page -> no DMA re-issue)
         return tbl[i, jnp.minimum(c, lens[i] // page)]
 
+    if layer >= 0:
+        kv_spec = pl.BlockSpec(
+            (None, 1, page, hkv, d),
+            lambda i, c, lens, tbl: (layer, kv_idx(i, c, lens, tbl), 0, 0, 0),
+        )
+        sc_spec = pl.BlockSpec(
+            (None, 1, page, hkv),
+            lambda i, c, lens, tbl: (layer, kv_idx(i, c, lens, tbl), 0, 0),
+        )
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, page, hkv, d),
+            lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
+        )
+        sc_spec = pl.BlockSpec(
+            (1, page, hkv),
+            lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, page, hkv, d),
-                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, page, hkv, d),
-                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, page, hkv),
-                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, page, hkv),
-                lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
-            ),
+            kv_spec, kv_spec, sc_spec, sc_spec,
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
         scratch_shapes=[
