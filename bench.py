@@ -42,7 +42,7 @@ _BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE.json")
 
 RESNET_BATCH = 128
-VIT_BATCH = 128
+VIT_BATCH = 32  # measured batch knee: 1,437 img/s at b32 vs 1,007 at b128 (r4)
 BERT_BATCH = 32
 BERT_SEQ = 128
 
