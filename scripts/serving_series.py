@@ -151,7 +151,7 @@ def main() -> int:
         slots = int(slots)
         options = {"num_slots": slots}
         if kind == "paged":
-            page = 16 if args.tiny else 128
+            page = 16 if args.tiny else 256
             max_len = 128 if args.tiny else 1024
             options["kv_page_size"] = page
             options["kv_pool_pages"] = 1 + slots * (max_len // page) // 2
