@@ -131,8 +131,9 @@ def main() -> int:
     p.add_argument("--new-tokens", type=int, default=256)
     p.add_argument("--configs", nargs="+",
                    default=["dense-16", "dense-32", "paged-64"],
-                   help="dense-<slots> or paged-<slots> (paged pool = "
-                        "half the dense footprint of the slot count)")
+                   help="dense-<slots>, paged-<slots>, or "
+                        "paged<page>-<slots> (paged pool = half the "
+                        "dense footprint of the slot count)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="llama-tiny shapes (CPU smoke)")
@@ -150,8 +151,8 @@ def main() -> int:
         kind, slots = label.rsplit("-", 1)
         slots = int(slots)
         options = {"num_slots": slots}
-        if kind == "paged":
-            page = 16 if args.tiny else 256
+        if kind.startswith("paged"):
+            page = int(kind[len("paged"):] or (16 if args.tiny else 256))
             max_len = 128 if args.tiny else 1024
             options["kv_page_size"] = page
             options["kv_pool_pages"] = 1 + slots * (max_len // page) // 2
