@@ -284,3 +284,44 @@ def test_paged_decode_step_fused_matches_fallback():
     finally:
         nn.set_use_pallas(False)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_mixed_lengths_s16():
+    """Group-of-8 grid with per-slot random lengths across multiple
+    chunks: the group skips by its LONGEST slot, shorter slots must
+    still mask exactly (round-4 grouped kernel)."""
+    q, k, v, ks, vs, lengths = make_case(s=16, t=256, seed=5)
+    out = da.decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(ks), jnp.asarray(vs), jnp.asarray(lengths),
+        rep=2, chunk=64,
+    )
+    ref = reference(q, k, v, ks, vs, lengths, rep=2)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_layered_blockspec_matches_sliced():
+    """layer=li on the whole [L, S, T, H, D] cache must equal the
+    per-layer sliced call (the S<=16 decode path)."""
+    rng = np.random.default_rng(9)
+    L, s, t, hkv, rep, d = 3, 8, 128, 2, 2, 32
+    q = rng.standard_normal((s, hkv * rep, d)).astype(np.float32)
+    kL = rng.integers(-127, 128, (L, s, t, hkv, d)).astype(np.int8)
+    vL = rng.integers(-127, 128, (L, s, t, hkv, d)).astype(np.int8)
+    ksL = (rng.random((L, s, t, hkv)).astype(np.float32) + 0.5) / 127
+    vsL = (rng.random((L, s, t, hkv)).astype(np.float32) + 0.5) / 127
+    lengths = rng.integers(1, t - 1, (s,)).astype(np.int32)
+    for li in (0, 2):
+        layered = da.decode_attention(
+            jnp.asarray(q), jnp.asarray(kL), jnp.asarray(vL),
+            jnp.asarray(ksL), jnp.asarray(vsL), jnp.asarray(lengths),
+            rep=rep, layer=li,
+        )
+        sliced = da.decode_attention(
+            jnp.asarray(q), jnp.asarray(kL[li]), jnp.asarray(vL[li]),
+            jnp.asarray(ksL[li]), jnp.asarray(vsL[li]),
+            jnp.asarray(lengths), rep=rep,
+        )
+        np.testing.assert_allclose(
+            np.asarray(layered), np.asarray(sliced), rtol=1e-5, atol=1e-5
+        )
