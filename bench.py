@@ -52,7 +52,12 @@ def load_anchors(path: str = _BASELINE_PATH) -> dict:
     try:
         with open(path) as f:
             return json.load(f).get("published", {})
-    except (OSError, ValueError):
+    except (OSError, ValueError) as exc:
+        # a missing/corrupt BASELINE.json would silently disable the
+        # self-enforcing gate — make that loud (ADVICE r4)
+        print(f"# WARNING: anchors unreadable ({path}): {exc} — "
+              "every metric runs UNANCHORED and the gate is disabled",
+              file=sys.stderr)
         return {}
 
 
@@ -253,12 +258,15 @@ def _supervised() -> int:
     The tunneled transport this bench runs over can sporadically wedge a
     device fetch forever (see serving/generation.py _fetch_result) and
     has ±15% throughput phases; a wedged child is killed and the
-    measurement retried in a fresh process, and a gate failure (rc=2)
-    is retried once in case it was a degraded transport phase rather
-    than a real regression."""
+    measurement retried in a fresh process. A gate failure (rc=2) is
+    retried exactly once in case it was a degraded transport phase; if
+    it repeats, rc=2 PROPAGATES so a driver can distinguish a perf
+    regression from a harness error (ADVICE r4)."""
     import subprocess
 
     last_out = ""
+    last_rc = 1
+    gate_failures = 0
     for attempt in range(3):
         try:
             proc = subprocess.run(
@@ -275,13 +283,19 @@ def _supervised() -> int:
             sys.stdout.write(out)
             return 0
         last_out = out or last_out
+        last_rc = proc.returncode or 1
         print(f"# attempt {attempt + 1} exited rc={proc.returncode}",
               file=sys.stderr)
+        if proc.returncode == 2:
+            gate_failures += 1
+            if gate_failures >= 2:
+                break  # gate tripped twice: a real regression, stop
     # out of attempts: emit the last measured lines (if any) but
-    # propagate the failure — the perf gate is self-enforcing
+    # propagate the child's rc — 2 for a confirmed gate failure, 1 for
+    # harness errors — so callers can tell the two apart
     if last_out.strip():
         sys.stdout.write(last_out)
-    return 1
+    return last_rc
 
 
 if __name__ == "__main__":

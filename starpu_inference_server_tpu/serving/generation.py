@@ -833,8 +833,9 @@ class GenerationEngine:
         per slot ON DEVICE and is maintained inside the block (cur is
         written at position ``lengths``, committed tokens behind it), so
         the only host-side maintenance is seeding the prompt rows at
-        admission. Packed layout matches ``_speculative_block`` —
-        [blocks, S, K+3] — so dispatch/consume are shared."""
+        admission. Packed layout extends ``_speculative_block``'s with a
+        found-flag column — [blocks, S, K+4] — and dispatch/consume stay
+        shared (consume keys column roles off speculate_k, not width)."""
         k = self.speculate_k
         n = self._lookup_ngram
         s = ids.shape[0]
@@ -870,8 +871,14 @@ class GenerationEngine:
             history = history.at[rows[:, None], pos].set(
                 jnp.where(emit, out, history[rows[:, None], pos])
             )
+            # lookup packs ONE extra column vs the model-draft path: the
+            # per-slot found flag, so the host counts drafted tokens only
+            # for blocks where an n-gram match actually proposed tokens
+            # (a no-match block verifies an all-zero draft and would
+            # otherwise deflate draft_acceptance_ratio — ADVICE r4)
             packed = jnp.concatenate(
-                [out, counts[:, None], jnp.where(alive, accepted, 0)[:, None]],
+                [out, counts[:, None], jnp.where(alive, accepted, 0)[:, None],
+                 (found & alive).astype(jnp.int32)[:, None]],
                 axis=1,
             )
             return (tcache, history, nxt, alive_next, progress), packed
@@ -1782,16 +1789,22 @@ class GenerationEngine:
         # (in-order device execution): earlier prefill landings are ready
         self._consumed_seq = max(self._consumed_seq, rec["seq"])
         if "packed" in rec:
-            # [blocks, S, K+3]: one fetch, started at dispatch time
+            # [blocks, S, K+3] (model draft) or [blocks, S, K+4]
+            # (prompt-lookup, extra found-flag column): one fetch,
+            # started at dispatch time
             packed = self._fetch_result(rec["fetch"], rec["packed"])
-            tokens = packed[:, :, :-2]          # [blocks, S, K+1]
-            counts = packed[:, :, -2]           # [blocks, S]
-            raw_accepted = packed[:, :, -1]     # [blocks, S] pre-clamp
+            k1 = self.speculate_k + 1
+            tokens = packed[:, :, :k1]           # [blocks, S, K+1]
+            counts = packed[:, :, k1]            # [blocks, S]
+            raw_accepted = packed[:, :, k1 + 1]  # [blocks, S] pre-clamp
             # drafts happen only while the slot is device-alive, and an
             # alive greedy slot always commits >= 1 token — so counts>0
             # marks exactly the (block, slot) pairs that drafted
             greedy = active & (snap["temps"] == 0)
             drafted_mask = counts[:, greedy] > 0
+            if packed.shape[2] > k1 + 2:
+                # prompt-lookup: count only blocks with an n-gram match
+                drafted_mask &= packed[:, greedy, k1 + 2] > 0
             self.drafted_tokens += self.speculate_k * int(drafted_mask.sum())
             self.accepted_drafts += int(
                 raw_accepted[:, greedy][drafted_mask].sum()
