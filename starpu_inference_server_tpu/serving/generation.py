@@ -105,13 +105,18 @@ def _copy_slot_rows(cache: "KVCache", src, dst) -> "KVCache":
     decode/prefill paths already rely on). ``lengths`` is untouched (the
     tail prefill sets it)."""
 
+    # slot axis: 0 on the LAYERED layout's per-layer leaves, 1 after the
+    # stacked [L] axis (prefix cache only runs non-pipe, but stay exact)
+    axis = 0 if cache.layered else 1
+
     def cp(a):
-        row = jax.lax.dynamic_index_in_dim(a, src, axis=1, keepdims=False)
-        return jax.lax.dynamic_update_index_in_dim(a, row, dst, axis=1)
+        row = jax.lax.dynamic_index_in_dim(a, src, axis=axis, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(a, row, dst, axis=axis)
 
     return cache._replace(
-        k=cp(cache.k), v=cp(cache.v),
-        k_scale=cp(cache.k_scale), v_scale=cp(cache.v_scale),
+        k=jax.tree.map(cp, cache.k), v=jax.tree.map(cp, cache.v),
+        k_scale=jax.tree.map(cp, cache.k_scale),
+        v_scale=jax.tree.map(cp, cache.v_scale),
     )
 
 
@@ -341,7 +346,8 @@ class GenerationEngine:
                         f"mesh data axis ({data_size}) to shard the KV slots"
                     )
                 self._slot_sharding = NamedSharding(mesh, P(DATA_AXIS))
-                self._cache_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+                # LAYERED cache leaves lead with the slot axis
+                self._cache_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self.params = self._place_params(params)
         self.dtype = dtype
         self.num_slots = num_slots
@@ -448,8 +454,11 @@ class GenerationEngine:
             )
         else:
             self.kv_pool_pages = 0
+            # pipe mode keeps the STACKED layout (the [L] axis shards
+            # over 'pipe'); everything else uses per-layer leaves
             self.cache: KVCache = self._place_cache(
-                init_cache(spec, num_slots, max_len)
+                init_cache(spec, num_slots, max_len,
+                           stacked=bool(self._pipe_stages))
             )
 
         # prefix caching: released slots keep their KV rows resident, so

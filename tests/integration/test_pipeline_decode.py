@@ -17,7 +17,7 @@ from starpu_inference_server_tpu.models.decoder import (
     init_params,
     prefill,
     prefill_chunk,
-
+    stack_cache,
 )
 from starpu_inference_server_tpu.parallel.mesh import MeshAxes, make_device_mesh
 from starpu_inference_server_tpu.parallel.partition import partition_rules_for
@@ -95,7 +95,7 @@ def test_pipelined_prefill_matches_sequential_chunks(stages, tp):
         lengths=ref_cache.lengths.at[slot].set(length)
     )
 
-    cache = init_cache(spec, 4, 64)
+    cache = init_cache(spec, 4, 64, stacked=True)
     cache, logits = pipelined_prefill(
         spec, _stacked(spec, params, mesh), cache, jnp.asarray(padded),
         jnp.int32(length), jnp.int32(slot), mesh, jnp.float32,
@@ -153,8 +153,10 @@ def test_pipelined_decode_step_matches_decode_step(family, tp, ep):
         spec, params, jax.tree.map(jnp.copy, cache), jnp.asarray(ids),
         jnp.asarray(active), jnp.float32,
     )
+    # the pipe path keeps the STACKED layout (layer axis shards over
+    # 'pipe'); convert the plain-prefill layered cache at the boundary
     got_cache, got_logits = pipelined_decode_step(
-        spec, _stacked(spec, params, mesh, family), cache,
+        spec, _stacked(spec, params, mesh, family), stack_cache(cache),
         jnp.asarray(ids), jnp.asarray(active), mesh, jnp.float32,
     )
     np.testing.assert_allclose(
@@ -286,7 +288,7 @@ def test_pipelined_bodies_match_with_fused_kernels():
     active = np.asarray([True, True, False, True])
 
     def run():
-        cache = init_cache(spec, 4, 512)
+        cache = init_cache(spec, 4, 512, stacked=True)
         cache, pf_logits = pipelined_prefill(
             spec, stacked, cache, jnp.asarray(prompt), jnp.int32(11),
             jnp.int32(0), mesh, jnp.float32,

@@ -75,8 +75,11 @@ def test_single_chunk_matches_full_prefill(tiny):
     np.testing.assert_allclose(
         np.asarray(logits_a), np.asarray(logits_b), rtol=1e-4, atol=1e-4
     )
-    assert bool((cache_a.k[:, 0, :20] == cache_b.k[:, 0, :20]).all())
-    assert bool((cache_a.v[:, 0, :20] == cache_b.v[:, 0, :20]).all())
+    # layered cache: np.asarray stacks the per-layer leaves
+    assert (np.asarray(cache_a.k)[:, 0, :20]
+            == np.asarray(cache_b.k)[:, 0, :20]).all()
+    assert (np.asarray(cache_a.v)[:, 0, :20]
+            == np.asarray(cache_b.v)[:, 0, :20]).all()
     assert int(cache_b.lengths[0]) == 20
 
 
@@ -155,8 +158,10 @@ def test_interleaved_decode_does_not_corrupt_prefilling_slot(tiny):
 
     # slot 1's prompt rows and final-chunk logits are untouched by the
     # interleaved decode traffic
-    assert bool((cache.k[:, 1, :20] == cache_ref.k[:, 1, :20]).all())
-    assert bool((cache.v[:, 1, :20] == cache_ref.v[:, 1, :20]).all())
+    assert (np.asarray(cache.k)[:, 1, :20]
+            == np.asarray(cache_ref.k)[:, 1, :20]).all()
+    assert (np.asarray(cache.v)[:, 1, :20]
+            == np.asarray(cache_ref.v)[:, 1, :20]).all()
     np.testing.assert_array_equal(
         np.asarray(logits_int), np.asarray(logits_ref)
     )

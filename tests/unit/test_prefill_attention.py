@@ -151,10 +151,11 @@ def test_prefill_paths_match_with_kernels_enabled():
     # in the last ulp; scales here are ~1e-2)
     for s in (slot, 1):
         for name in ("k", "v"):
-            g = getattr(got_cache, name)[:, s, :length].astype(np.float32)
-            w = getattr(want_cache, name)[:, s, :length].astype(np.float32)
-            gs = getattr(got_cache, name + "_scale")[:, s, :length]
-            ws = getattr(want_cache, name + "_scale")[:, s, :length]
+            # layered cache: np.asarray stacks the per-layer leaves
+            g = np.asarray(getattr(got_cache, name))[:, s, :length].astype(np.float32)
+            w = np.asarray(getattr(want_cache, name))[:, s, :length].astype(np.float32)
+            gs = np.asarray(getattr(got_cache, name + "_scale"))[:, s, :length]
+            ws = np.asarray(getattr(want_cache, name + "_scale"))[:, s, :length]
             step = float(np.maximum(gs, ws).max())
             np.testing.assert_allclose(
                 g * gs[..., None], w * ws[..., None],
