@@ -44,6 +44,7 @@ from .decoder import (
     _mlp_block,
     _project_qkv,
     _quantize_kv,
+    _with_layer,
     rms_norm,
     rope,
 )
@@ -53,12 +54,20 @@ import math
 
 
 class PagedKVCache(NamedTuple):
-    """INT8 paged KV cache: page pools + per-slot page table."""
+    """INT8 paged KV cache: PER-LAYER page pools + per-slot page table.
 
-    k: jnp.ndarray        # int8 [L, N, page, H_kv, D]
-    v: jnp.ndarray        # int8 [L, N, page, H_kv, D]
-    k_scale: jnp.ndarray  # f32  [L, N, page, H_kv]
-    v_scale: jnp.ndarray  # f32  [L, N, page, H_kv]
+    ``k``/``v`` are length-L tuples of per-layer pools int8
+    [N, page, H_kv, D] (scales f32 [N, page, H_kv]) — the same
+    per-layer-leaves layout as the dense ``KVCache`` and for the same
+    reason: ``cache.k[li]`` is a tuple index onto the layer's own
+    buffer, so no contiguous pool slice materializes per layer and the
+    per-layer scatters alias in place (VERDICT r5; the dense refactor
+    measured +20-159% raw decode)."""
+
+    k: object             # tuple of int8 [N, page, H_kv, D]
+    v: object
+    k_scale: object       # tuple of f32 [N, page, H_kv]
+    v_scale: object
     table: jnp.ndarray    # int32 [S, max_pages] pool page per logical chunk
     lengths: jnp.ndarray  # int32 [S]
 
@@ -68,15 +77,15 @@ class PagedKVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0]
 
     @property
     def max_len(self) -> int:
-        return self.table.shape[1] * self.k.shape[2]
+        return self.table.shape[1] * self.page_size
 
 
 def init_paged_cache(
@@ -93,12 +102,14 @@ def init_paged_cache(
     if num_pages < 2:
         raise ValueError("num_pages must be >= 2 (page 0 is reserved)")
     max_pages = max_len // page_size
-    shape = (spec.layers, num_pages, page_size, spec.kv_heads, spec.head_dim)
+    shape = (num_pages, page_size, spec.kv_heads, spec.head_dim)
     return PagedKVCache(
-        k=jnp.zeros(shape, jnp.int8),
-        v=jnp.zeros(shape, jnp.int8),
-        k_scale=jnp.zeros(shape[:-1], jnp.float32),
-        v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
+        v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
+        k_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+                      for _ in range(spec.layers)),
+        v_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+                      for _ in range(spec.layers)),
         table=jnp.zeros((num_slots, max_pages), jnp.int32),
         lengths=jnp.zeros((num_slots,), jnp.int32),
     )
@@ -152,16 +163,17 @@ def paged_prefill(
         k = rope(k, positions[None])
         kq, kscale = _quantize_kv(k[0])   # [P, H_kv, D], [P, H_kv]
         vq, vscale = _quantize_kv(v[0])
-        ck, cv, cks, cvs = cache.k, cache.v, cache.k_scale, cache.v_scale
+        ck, cv = cache.k[li], cache.v[li]
+        cks, cvs = cache.k_scale[li], cache.v_scale[li]
         for j in range(n_pages):
             pid = cache.table[slot, j]
             lo, hi = j * page, min((j + 1) * page, p)
             n = hi - lo
-            ck = ck.at[li, pid, :n].set(kq[lo:hi])
-            cv = cv.at[li, pid, :n].set(vq[lo:hi])
-            cks = cks.at[li, pid, :n].set(kscale[lo:hi])
-            cvs = cvs.at[li, pid, :n].set(vscale[lo:hi])
-        cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
+            ck = ck.at[pid, :n].set(kq[lo:hi])
+            cv = cv.at[pid, :n].set(vq[lo:hi])
+            cks = cks.at[pid, :n].set(kscale[lo:hi])
+            cvs = cvs.at[pid, :n].set(vscale[lo:hi])
+        cache = _with_layer(cache, li, ck, cv, cks, cvs)
 
         # in-prompt attention needs no cache read (single-shot prefill)
         kg = jnp.repeat(k, rep, axis=2)
@@ -229,15 +241,16 @@ def paged_prefill_chunk(
 
         kq, kscale = _quantize_kv(k[0])
         vq, vscale = _quantize_kv(v[0])
-        ck, cv, cks, cvs = cache.k, cache.v, cache.k_scale, cache.v_scale
+        ck, cv = cache.k[li], cache.v[li]
+        cks, cvs = cache.k_scale[li], cache.v_scale[li]
         for j in range(pages_per_chunk):
             pid = cache.table[slot, first_page + j]
             lo = j * page
-            ck = ck.at[li, pid].set(kq[lo : lo + page])
-            cv = cv.at[li, pid].set(vq[lo : lo + page])
-            cks = cks.at[li, pid].set(kscale[lo : lo + page])
-            cvs = cvs.at[li, pid].set(vscale[lo : lo + page])
-        cache = cache._replace(k=ck, v=cv, k_scale=cks, v_scale=cvs)
+            ck = ck.at[pid].set(kq[lo : lo + page])
+            cv = cv.at[pid].set(vq[lo : lo + page])
+            cks = cks.at[pid].set(kscale[lo : lo + page])
+            cvs = cvs.at[pid].set(vscale[lo : lo + page])
+        cache = _with_layer(cache, li, ck, cv, cks, cvs)
 
         # past attention reads the slot's logical rows back through the
         # table (gather fallback; prefill is compute-bound)
@@ -327,21 +340,23 @@ def paged_decode_step(
 
         kq, kscale = _quantize_kv(k[:, 0])  # [S, H, D], [S, H]
         vq, vscale = _quantize_kv(v[:, 0])
-        cache = cache._replace(
-            k=cache.k.at[li, page_ids, offs].set(kq),
-            v=cache.v.at[li, page_ids, offs].set(vq),
-            k_scale=cache.k_scale.at[li, page_ids, offs].set(kscale),
-            v_scale=cache.v_scale.at[li, page_ids, offs].set(vscale),
+        cache = _with_layer(
+            cache, li,
+            cache.k[li].at[page_ids, offs].set(kq),
+            cache.v[li].at[page_ids, offs].set(vq),
+            cache.k_scale[li].at[page_ids, offs].set(kscale),
+            cache.v_scale[li].at[page_ids, offs].set(vscale),
         )
 
         if use_fused:
             from ..ops.decode_attention import paged_decode_attention
 
-            # NOTE: the layer-pinned whole-pool variant (layer=li, as in
-            # the dense S<=16 path) was measured and REGRESSES here —
-            # paged-64 raw fell 7.2k -> 3.1k tok/s, the same
-            # whole-array scatter copy-on-write blowup the dense S>=32
-            # path hits — so the paged call keeps sliced operands.
+            # PER-LAYER pools: cache.k[li] is a tuple index onto the
+            # layer's own buffer — no pool slice materializes and the
+            # scatter aliases in place (the r4 layer-pinned whole-pool
+            # variant regressed precisely because the stacked buffer
+            # flipped into copy-on-write; per-layer leaves remove the
+            # stacked buffer altogether).
             attn = paged_decode_attention(
                 q[:, 0], cache.k[li], cache.v[li],
                 cache.k_scale[li], cache.v_scale[li],
@@ -421,11 +436,12 @@ def paged_verify_step(
 
         kq, kscale = _quantize_kv(k)   # [S, W, H, D], [S, W, H]
         vq, vscale = _quantize_kv(v)
-        cache = cache._replace(
-            k=cache.k.at[li, page_ids, offs].set(kq),
-            v=cache.v.at[li, page_ids, offs].set(vq),
-            k_scale=cache.k_scale.at[li, page_ids, offs].set(kscale),
-            v_scale=cache.v_scale.at[li, page_ids, offs].set(vscale),
+        cache = _with_layer(
+            cache, li,
+            cache.k[li].at[page_ids, offs].set(kq),
+            cache.v[li].at[page_ids, offs].set(vq),
+            cache.k_scale[li].at[page_ids, offs].set(kscale),
+            cache.v_scale[li].at[page_ids, offs].set(vscale),
         )
 
         if use_fused:
