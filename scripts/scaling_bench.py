@@ -241,6 +241,16 @@ def _decode_census(args, jax, jnp, np) -> int:
         hlo = compiled.as_text()
         colls = {name: hlo.count(f" {name}") + hlo.count(f"{name}(")
                  for name in COLLECTIVES}
+        # per-AXIS labeling (VERDICT r4 item 6): on the v5e-16 target
+        # 'data' spans DCN and 'model' spans ICI — this shows which
+        # ops would cross the host boundary
+        by_axis = {}
+        if mesh is not None:
+            from starpu_inference_server_tpu.parallel.census import (
+                collectives_by_axis,
+            )
+
+            by_axis = collectives_by_axis(hlo, mesh)
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
@@ -265,6 +275,7 @@ def _decode_census(args, jax, jnp, np) -> int:
             "tok_s": round(slots * steps * args.iters / elapsed, 1),
             "flops_per_device_per_block": flops,
             "collectives": {k: v for k, v in colls.items() if v},
+            "collectives_by_axis": by_axis,
         }
 
     print(json.dumps({

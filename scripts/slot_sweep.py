@@ -87,6 +87,10 @@ def main() -> int:
     params = maybe_quantize_tree(
         init_params(spec, np.random.default_rng(0)), bits
     )
+    # place ONCE: every engine's device_put then reuses these buffers
+    # instead of uploading a fresh ~1.2 GB copy per config (an
+    # N-config sweep OOMs otherwise)
+    params = jax.device_put(params)
     weight_bytes = sum(
         int(np.prod(x.shape)) * x.dtype.itemsize
         for x in jax.tree.leaves(params)
@@ -120,6 +124,11 @@ def main() -> int:
             kv_pool_pages=cfg["pool"],
         )
         cfg["engine"] = eng
+        if args.skip_engine:
+            # the raw tier brings its own fresh cache; freeing the
+            # engine's (allocated in __init__) halves the sweep's HBM
+            # footprint so big slot counts fit side by side
+            eng.cache = None
         if cfg["pool"]:
             need = s * pages_per_slot
             if need > cfg["pool"] - 1:

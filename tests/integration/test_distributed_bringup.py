@@ -292,3 +292,270 @@ def test_two_process_global_mesh_forward(tmp_path):
     assert results[0]["sample"] == pytest.approx(
         ref[0, -1, :8].tolist(), rel=1e-4, abs=1e-4
     )
+
+
+WORKER_TIERED = r"""
+import json, os, sys
+import jax
+
+# v5e-16 factorization stand-in (VERDICT r4 item 6): each process
+# contributes 4 virtual devices; the global mesh is data=2 (ACROSS the
+# two processes — the DCN tier) x model=4 (within a process — the ICI
+# tier).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.environ["SIS_REPO"])
+from starpu_inference_server_tpu.parallel.mesh import initialize_distributed
+
+pid = int(sys.argv[1])
+initialize_distributed(
+    coordinator_address=os.environ["SIS_COORD"],
+    num_processes=2,
+    process_id=pid,
+)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from starpu_inference_server_tpu.models.decoder import get_spec, init_params
+from starpu_inference_server_tpu.parallel.census import collectives_by_axis
+from starpu_inference_server_tpu.serving.generation import (
+    GenerationEngine, GenerationRequest,
+)
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+# PROVE the tiering: each data row lives wholly in one process, so the
+# data axis is the axis that crosses the host (DCN) boundary
+row_procs = [
+    {d.process_index for d in mesh.devices[i]} for i in range(2)
+]
+assert row_procs == [{0}, {1}], row_procs
+
+spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128, "q_heads": 4,
+                               "kv_heads": 2, "intermediate": 256,
+                               "vocab": 128})
+params = init_params(spec, np.random.default_rng(0))
+eng = GenerationEngine(
+    spec, params, dtype=jnp.float32, num_slots=4, max_len=64,
+    prefill_buckets=[8], mesh=mesh, family="llama-tiny",
+    steps_per_sync=2,
+)
+prompts = ([3, 7, 11], [5, 2], [9, 1, 4])
+reqs = [GenerationRequest(prompt_ids=np.asarray(p, np.int32),
+                          max_new_tokens=6) for p in prompts]
+for r in reqs:
+    eng.submit(r)
+eng.start()
+tokens = [r.result(timeout=300) for r in reqs]
+eng.stop()
+
+# audit the decode program: which collectives would cross DCN?
+s = 4
+sh = eng._slot_sharding
+def vec(v):
+    return jax.device_put(jnp.asarray(v), sh)
+cache = eng.cache._replace(lengths=vec(np.full((s,), 8, np.int32)))
+lowered = eng._decode.lower(
+    eng.params, cache, vec(np.ones((s,), np.int32)),
+    vec(np.ones((s,), bool)), vec(np.zeros((s,), np.float32)),
+    vec(np.zeros((s,), np.int32)), vec(np.zeros((s,), np.uint32)),
+    vec(np.ones((s,), np.int32)), vec(np.full((s,), -1, np.int32)),
+    vec(np.full((s,), 1 << 30, np.int32)),
+)
+census = collectives_by_axis(lowered.compile().as_text(), mesh)
+print("RESULT " + json.dumps({"pid": pid, "tokens": tokens,
+                              "census": census}), flush=True)
+"""
+
+
+WORKER_PIPE = r"""
+import json, os, sys
+import jax
+
+# PIPE axis ACROSS the two OS processes (VERDICT r4 item 6b): stage 0
+# lives in process 0, stage 1 in process 1 — the microbatch handoff
+# ppermute is the op that crosses the host boundary.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.environ["SIS_REPO"])
+from starpu_inference_server_tpu.parallel.mesh import initialize_distributed
+
+pid = int(sys.argv[1])
+initialize_distributed(
+    coordinator_address=os.environ["SIS_COORD"],
+    num_processes=2,
+    process_id=pid,
+)
+assert jax.process_count() == 2
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from starpu_inference_server_tpu.models.decoder import (
+    get_spec, init_cache, init_params,
+)
+from starpu_inference_server_tpu.parallel.census import collectives_by_axis
+from starpu_inference_server_tpu.parallel.partition import partition_rules_for
+from starpu_inference_server_tpu.parallel.pipeline import (
+    prepare_pipelined_params,
+)
+from starpu_inference_server_tpu.parallel.pipeline_decode import (
+    pipelined_decode_step, pipelined_prefill,
+)
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2), ("pipe", "model"))
+assert [{d.process_index for d in mesh.devices[i]} for i in range(2)] \
+    == [{0}, {1}]
+
+spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128, "q_heads": 4,
+                               "kv_heads": 2, "intermediate": 256,
+                               "vocab": 128})
+from starpu_inference_server_tpu.parallel.tp_layout import (
+    shuffle_decoder_layer_for_tp,
+)
+params0 = init_params(spec, np.random.default_rng(0))
+stacked = prepare_pipelined_params(
+    params0, mesh, partition_rules_for("llama-tiny"),
+    layer_shuffle=lambda layer: shuffle_decoder_layer_for_tp(spec, layer, 2),
+)
+cache = jax.device_put(
+    init_cache(spec, 4, 64, stacked=True),
+    NamedSharding(mesh, P("pipe")),
+)
+prompt = np.zeros((8,), np.int32)
+prompt[:5] = [3, 7, 11, 2, 9]
+cache, pf_logits = pipelined_prefill(
+    spec, stacked, cache, jnp.asarray(prompt), jnp.int32(5),
+    jnp.int32(0), mesh, jnp.float32,
+)
+ids = jnp.asarray([int(np.argmax(np.asarray(pf_logits))), 0, 0, 0],
+                  jnp.int32)
+active = jnp.asarray([True, False, False, False])
+fn = jax.jit(lambda p, c, i, a: pipelined_decode_step(
+    spec, p, c, i, a, mesh, jnp.float32))
+cache, d_logits = fn(stacked, cache, ids, active)
+out = np.asarray(d_logits)
+census = collectives_by_axis(
+    fn.lower(stacked, cache, ids, active).compile().as_text(), mesh
+)
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "first_token": int(np.argmax(np.asarray(pf_logits))),
+    "next_logits8": out[0, :8].tolist(),
+    "census": census,
+}), flush=True)
+"""
+
+
+def test_two_process_two_tier_mesh_engine(tmp_path):
+    """v5e-16 factorization stand-in end-to-end: data=2 axis SPANS the
+    two OS processes (DCN tier), model=4 within each process (ICI
+    tier), driving the full GenerationEngine. Tokens must match the
+    plain single-process engine, and the decode program's census must
+    show TP all-reduces confined to 'model' — i.e. nothing
+    matmul-bound would cross DCN (VERDICT r4 item 6a)."""
+    results = _run_two_process(tmp_path, WORKER_TIERED, timeout=600)
+    assert results[0]["tokens"] == results[1]["tokens"]
+
+    census = results[0]["census"]
+    reduce_labels = set(census.get("all-reduce", {}))
+    assert reduce_labels and all(
+        lab in ("model", "self") for lab in reduce_labels
+    ), census
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.serving.generation import (
+        GenerationEngine,
+        GenerationRequest,
+    )
+
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128,
+                                   "q_heads": 4, "kv_heads": 2,
+                                   "intermediate": 256, "vocab": 128})
+    eng = GenerationEngine(
+        spec, init_params(spec, np.random.default_rng(0)),
+        dtype=jnp.float32, num_slots=4, max_len=64, prefill_buckets=[8],
+        steps_per_sync=2,
+    )
+    eng.start()
+    try:
+        reqs = [GenerationRequest(prompt_ids=np.asarray(p, np.int32),
+                                  max_new_tokens=6)
+                for p in ([3, 7, 11], [5, 2], [9, 1, 4])]
+        for r in reqs:
+            eng.submit(r)
+        refs = [r.result(timeout=180) for r in reqs]
+    finally:
+        eng.stop()
+    assert results[0]["tokens"] == refs
+
+
+def test_two_process_pipe_axis_decode(tmp_path):
+    """PIPE parallelism across OS processes: stage 0 in process 0,
+    stage 1 in process 1 (the multi-host pipeline deployment shape).
+    Both processes must agree, the logits must match the plain
+    single-process decode path, and the census must show the
+    stage-handoff collective-permute spanning 'pipe' — the one op that
+    rides the host boundary (VERDICT r4 item 6b)."""
+    results = _run_two_process(tmp_path, WORKER_PIPE, timeout=600)
+    assert results[0]["first_token"] == results[1]["first_token"]
+    assert results[0]["next_logits8"] == pytest.approx(
+        results[1]["next_logits8"], rel=1e-5
+    )
+    census = results[0]["census"]
+    permute_labels = set(census.get("collective-permute", {}))
+    assert "pipe" in permute_labels, census
+
+    # single-process plain-path reference
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.models.decoder import (
+        decode_step,
+        get_spec,
+        init_cache,
+        init_params,
+        prefill,
+    )
+
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128,
+                                   "q_heads": 4, "kv_heads": 2,
+                                   "intermediate": 256, "vocab": 128})
+    params = init_params(spec, np.random.default_rng(0))
+    cache = init_cache(spec, 4, 64)
+    prompt = np.zeros((8,), np.int32)
+    prompt[:5] = [3, 7, 11, 2, 9]
+    cache, lg = jax.jit(
+        lambda p, c: prefill(spec, p, c, jnp.asarray(prompt),
+                             jnp.int32(5), jnp.int32(0), jnp.float32)
+    )(params, cache)
+    tok = int(np.argmax(np.asarray(lg)))
+    assert tok == results[0]["first_token"]
+    ids = jnp.asarray([tok, 0, 0, 0], jnp.int32)
+    active = jnp.asarray([True, False, False, False])
+    _, d_logits = jax.jit(
+        lambda p, c, i, a: decode_step(spec, p, c, i, a, jnp.float32)
+    )(params, cache, ids, active)
+    # the pipelined prefill reads chunk-boundary keys back through the
+    # INT8 cache (prefill_chunk numerics); one-shot prefill keeps them
+    # at compute precision — known quantization drift, not a mesh bug
+    assert results[0]["next_logits8"] == pytest.approx(
+        np.asarray(d_logits)[0, :8].tolist(), rel=5e-3, abs=5e-3
+    )
