@@ -194,6 +194,80 @@ def _bert_throughput(family: str, batch: int = BERT_BATCH,
         nn.set_w8a8(False)
 
 
+def _decode_throughput(slots: int = 64, steps: int = 8, max_len: int = 1024,
+                       prompt_len: int = 32, new_tokens: int = 256) -> float:
+    """Raw continuous-batching decode tok/s at full occupancy: llama-1b
+    INT8 weights + INT8 KV, per-layer cache leaves, all blocks chained
+    in ONE jitted fori_loop with one scalar fetch (the device ceiling
+    the serving stack is measured against; scripts/knee_decomp.py has
+    the raw/dispatch/engine/serving decomposition). Chained measure —
+    phase-stable (±1%) where engine/serving tiers wobble with the
+    tunnel, which is why THIS is the driver-gated decode headline
+    (VERDICT r4 item 8)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_cache,
+        init_params,
+    )
+    from starpu_inference_server_tpu.ops import nn
+    from starpu_inference_server_tpu.ops.quant import maybe_quantize_tree
+    from starpu_inference_server_tpu.serving.generation import GenerationEngine
+
+    nn.set_use_pallas(True)
+    try:
+        spec = get_spec("llama-1b", {})
+        params = jax.device_put(maybe_quantize_tree(
+            init_params(spec, np.random.default_rng(0)), 8
+        ))
+        eng = GenerationEngine(
+            spec, params, dtype=jnp.bfloat16, num_slots=slots,
+            max_len=max_len, prefill_buckets=[prompt_len],
+            steps_per_sync=steps, fetch_timeout_s=600,
+        )
+        eng.cache = None  # the chain brings its own cache
+        n_blocks = new_tokens // steps
+        active = jnp.ones((slots,), bool)
+        temps = jnp.zeros((slots,), jnp.float32)
+        top_k = jnp.zeros((slots,), jnp.int32)
+        seeds = jnp.zeros((slots,), jnp.uint32)
+        eos = jnp.full((slots,), -1, jnp.int32)
+        limit = jnp.full((slots,), 1 << 30, jnp.int32)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chained(params, cache, ids, prog, k):
+            def body(_, carry):
+                cache, ids, prog = carry
+                cache, _, ids, prog, _ = eng._decode_and_sample(
+                    params, cache, ids, active, temps, top_k, seeds,
+                    prog, eos, limit,
+                )
+                return cache, ids, prog
+
+            cache, ids, prog = jax.lax.fori_loop(0, k, body,
+                                                 (cache, ids, prog))
+            return ids[0]
+
+        def run():
+            cache = jax.device_put(init_cache(spec, slots, max_len))._replace(
+                lengths=jnp.full((slots,), prompt_len, jnp.int32)
+            )
+            ids0 = jnp.ones((slots,), jnp.int32)
+            prog0 = jnp.ones((slots,), jnp.int32)
+            t0 = time.perf_counter()
+            float(chained(params, cache, ids0, prog0, n_blocks))
+            return n_blocks * steps * slots / (time.perf_counter() - t0)
+
+        run()  # compile
+        return max(run() for _ in range(3))
+    finally:
+        nn.set_use_pallas(False)
+
+
 def _row(metric: str, value: float, unit: str, anchors: dict) -> dict:
     anchor = anchors.get(metric)
     if anchor:
@@ -224,6 +298,12 @@ def main() -> int:
           file=sys.stderr)
     rows.append(_row("bert_large_w8a8_seq_per_sec_per_chip",
                      bert_l_sps, "seq/s", anchors))
+
+    decode_tps = _decode_throughput()
+    print(f"# llama-1b int8 decode (64 slots, T=1024): {decode_tps:.0f} "
+          "tok/s raw", file=sys.stderr)
+    rows.append(_row("llama1b_int8_decode_tok_per_sec_per_chip",
+                     decode_tps, "tok/s", anchors))
 
     vit_ips = _image_throughput("vit_l_16", VIT_BATCH)
     print(f"# vit_l_16 int8 (w8a8): {vit_ips:.1f} img/s", file=sys.stderr)

@@ -325,3 +325,37 @@ def test_layered_blockspec_matches_sliced():
         np.testing.assert_allclose(
             np.asarray(layered), np.asarray(sliced), rtol=1e-5, atol=1e-5
         )
+
+
+def test_grouped_window_mixed_lengths_s16():
+    """Group-of-8 window grid with per-slot random lengths across
+    multiple chunks: the group skips by its longest slot's window end,
+    shorter slots must still mask exactly per window row (round-5
+    grouped verify kernel, VERDICT r4 weak 4)."""
+    rng = np.random.default_rng(11)
+    s, w, t, hkv, rep, d = 16, 5, 256, 2, 2, 64
+    hq = hkv * rep
+    q = rng.standard_normal((s, w, hq, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (s, t, hkv, d)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (s, t, hkv)).astype(np.float32)
+    lengths = rng.integers(0, t - w, (s,)).astype(np.int32)
+
+    got = np.asarray(da.window_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(ks),
+        jnp.asarray(vs), jnp.asarray(lengths), rep=rep,
+        out_dtype=jnp.float32,
+    ))
+
+    kd = np.repeat(k.astype(np.float32) * ks[..., None], rep, axis=2)
+    vd = np.repeat(v.astype(np.float32) * vs[..., None], rep, axis=2)
+    logits = np.einsum("swhd,skhd->shwk", q, kd) / np.sqrt(d)
+    key_pos = np.arange(t)
+    pos = lengths[:, None] + np.arange(w)[None, :]
+    mask = key_pos[None, None, None, :] <= pos[:, None, :, None]
+    logits = np.where(mask, logits, -1e30)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.einsum("shwk,skhd->swhd", probs, vd)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
