@@ -1,16 +1,19 @@
 #!/usr/bin/env python3
-"""Pin the decode block's cache layout with with_layout_constraint
-(round 5, follow-up to layout_probe.py).
+"""Pin the decode block's ENTRY/EXIT cache layouts to the body layout
+(round 5, the dispatch-bubble fix).
 
-The per-block program converts the whole cache between {3,2,1,0}
-(entry/exit) and an internal preference — ~4.6 GB of copies = the
-entire 56 ms dispatch bubble at dense-128. AUTO entry layouts chose
-the default and didn't remove the copies, so the conflict is internal:
-some op in the while body prefers a T-minor layout and layout
-assignment migrates the carry. This probe pins every cache leaf to the
-row-major default INSIDE the program (entry and return), forcing the
-preferring op to eat the non-preferred layout instead of the carry
-round-tripping through HBM.
+The compiled block's entry_computation_layout stores the cache params
+as s8[S,1024,8,64]{1,3,2,0} / f32[S,1024,8]{1,2,0} — XLA's compact
+choice (the standard {3,2,1,0} layout pads D=64 to 128 lanes) — while
+the body computes in {3,2,1,0}. Every standalone block therefore
+converts ~4.6 GB at entry+exit (the measured ~56 ms bubble at S=128);
+the chained program converts once per chain.
+
+Fix probed here: declare explicit standard-layout Formats for the
+cache in BOTH in_shardings and out_shardings, and device_put the cache
+arrays in that format once — donation then carries the layout across
+blocks and the conversions disappear. Costs padded storage (2x on the
+int8 data, 16x on the tiny scales) — HBM for speed.
 
 Usage: python scripts/layout_pin_probe.py [--slots 128]
 """
@@ -18,6 +21,7 @@ Usage: python scripts/layout_pin_probe.py [--slots 128]
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 import time
 
@@ -34,11 +38,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental.layout import (
-        Format,
-        Layout,
-        with_layout_constraint,
-    )
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
 
     from starpu_inference_server_tpu.models.decoder import (
         get_spec,
@@ -58,28 +59,13 @@ def main() -> int:
         prefill_buckets=[P], steps_per_sync=steps, fetch_timeout_s=600)
     eng.cache = None
 
-    def pin(tree):
-        def one(a):
-            lay = Layout(major_to_minor=tuple(range(a.ndim)))
-            return with_layout_constraint(a, lay)
-        return jax.tree.map(one, tree)
+    dev = SingleDeviceSharding(jax.devices()[0])
 
-    def pinned_decode(params, cache, *rest):
-        cache = cache._replace(
-            k=pin(cache.k), v=pin(cache.v),
-            k_scale=pin(cache.k_scale), v_scale=pin(cache.v_scale))
-        out = eng._decode_and_sample(params, cache, *rest)
-        ncache = out[0]
-        ncache = ncache._replace(
-            k=pin(ncache.k), v=pin(ncache.v),
-            k_scale=pin(ncache.k_scale), v_scale=pin(ncache.v_scale))
-        return (ncache,) + tuple(out[1:])
+    def std_fmt(a):
+        return Format(Layout(major_to_minor=tuple(range(a.ndim))), dev)
 
-    fn = jax.jit(pinned_decode, donate_argnums=(1,))
-
-    def fresh():
-        return jax.device_put(init_cache(spec, S, T))._replace(
-            lengths=jnp.full((S,), P, jnp.int32))
+    cache0 = init_cache(spec, S, T)
+    cache_fmts = jax.tree.map(std_fmt, cache0)
 
     ids = jnp.ones((S,), jnp.int32)
     act = jnp.ones((S,), bool)
@@ -90,13 +76,33 @@ def main() -> int:
     eo = jnp.full((S,), -1, jnp.int32)
     lim = jnp.full((S,), 1 << 30, jnp.int32)
 
+    in_sh = (jax.tree.map(std_fmt, eng.params), cache_fmts) + tuple(
+        std_fmt(v) for v in (ids, act, tmp, tk, sd, pr0, eo, lim)
+    )
+    # outputs: (cache, block [steps,S], nxt, prog, alive)
+    out_sh = (cache_fmts,
+              Format(Layout(major_to_minor=(0, 1)), dev),
+              std_fmt(ids), std_fmt(pr0), std_fmt(act))
+    fn = jax.jit(eng._decode_and_sample, donate_argnums=(1,),
+                 in_shardings=in_sh, out_shardings=out_sh)
+
+    def fresh():
+        c = jax.tree.map(
+            lambda a, f: jax.device_put(a, f), cache0, cache_fmts)
+        return c._replace(lengths=jax.device_put(
+            jnp.full((S,), P, jnp.int32), std_fmt(ids)))
+
+    params_pinned = jax.tree.map(
+        lambda a, f: jax.device_put(a, f), eng.params,
+        jax.tree.map(std_fmt, eng.params))
+
     def run():
         cache = fresh()
         i, a, prg = ids, act, pr0
         t0 = time.perf_counter()
         for _ in range(n_blocks):
             cache, blk, i, prg, a = fn(
-                eng.params, cache, i, a, tmp, tk, sd, prg, eo, lim)
+                params_pinned, cache, i, a, tmp, tk, sd, prg, eo, lim)
         np.asarray(blk)
         el = time.perf_counter() - t0
         return n_blocks * steps * S / el, el / n_blocks * 1e3
@@ -105,16 +111,12 @@ def main() -> int:
     run()
     for rnd in range(args.rounds):
         tps, ms = run()
-        print(f"round {rnd}: pinned-layout dispatch {tps:.0f} tok/s "
+        print(f"round {rnd}: std-layout dispatch {tps:.0f} tok/s "
               f"({ms:.1f} ms/blk)", flush=True)
 
-    # copy census on the compiled program
-    cache = fresh()
-    hlo = fn.lower(eng.params, cache, ids, act, tmp, tk, sd, pr0, eo,
-                   lim).compile().as_text()
-    import re
-    big = sum(1 for m in re.finditer(
-        r"= s8\[%d,1024,8,64\][^ ]* copy\(" % S, hlo))
+    hlo = fn.lower(params_pinned, fresh(), ids, act, tmp, tk, sd, pr0,
+                   eo, lim).compile().as_text()
+    big = len(re.findall(r"= s8\[%d,1024,8,64\][^ ]* copy\(" % S, hlo))
     print(f"# whole-cache s8 copies in program: {big}", flush=True)
     return 0
 

@@ -92,7 +92,7 @@ class _Harness:
         )
         self.loop.close()
 
-    def start(self, timeout=900):
+    def start(self, timeout=2400):
         self.thread.start()
         if not self.ready.wait(timeout=timeout):
             raise RuntimeError("server failed to start")
@@ -131,9 +131,12 @@ def main() -> int:
     p.add_argument("--new-tokens", type=int, default=256)
     p.add_argument("--configs", nargs="+",
                    default=["dense-16", "dense-32", "paged-64"],
-                   help="dense-<slots>, paged-<slots>, or "
-                        "paged<page>-<slots> (paged pool = half the "
-                        "dense footprint of the slot count)")
+                   help="dense-<slots>, paged-<slots>, paged<page>-"
+                        "<slots> (pool = half the dense footprint), "
+                        "copyplain-<slots> (copy-model weights, plain "
+                        "decode) or lookup-<slots> (copy-model weights "
+                        "+ prompt-lookup speculation) — the serving-"
+                        "level lookup A/B (VERDICT r4 item 5)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="llama-tiny shapes (CPU smoke)")
@@ -156,6 +159,16 @@ def main() -> int:
             max_len = 128 if args.tiny else 1024
             options["kv_page_size"] = page
             options["kv_pool_pages"] = 1 + slots * (max_len // page) // 2
+        elif kind in ("copyplain", "lookup"):
+            # copy-model weights (models/decoder.rig_copy_model): greedy
+            # output follows permutation cycles at the full model's
+            # per-forward cost — the repetition-heavy workload
+            # prompt-lookup exploits; copyplain is the equal-weights
+            # control
+            options["copy_model_cycle"] = 8 if args.tiny else 32
+            if kind == "lookup":
+                options["speculate_k"] = 2 if args.tiny else 8
+                options["prompt_lookup_ngram"] = 2
         elif kind != "dense":
             raise SystemExit(f"unknown config kind {label!r}")
         cfg = parse_config(_cfg_dict("llama", options, tiny=args.tiny))

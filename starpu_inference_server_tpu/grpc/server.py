@@ -198,6 +198,12 @@ class InferenceServer:
                 # (models/paged_decoder.py); kv_pool_pages sizes the pool
                 kv_page_size=int(opts.get("kv_page_size", 0)),
                 kv_pool_pages=int(opts.get("kv_pool_pages", 0)),
+                # opt-in cache entry/exit layout pinning (+36% dispatch
+                # at dense-128; off by default — the axon remote-compile
+                # cache can return stale unpinned executables, see
+                # generation.py _pin)
+                pin_cache_layouts=bool(opts.get("pin_cache_layouts",
+                                                False)),
                 # tunneled transports wedge fetches; serving default 120s
                 fetch_timeout_s=float(opts.get("fetch_timeout_s", 120.0)),
                 metrics=getattr(self.observability, "metrics", None),

@@ -763,12 +763,44 @@ def get_spec(variant: str, options) -> DecoderSpec:
     )
 
 
+def rig_copy_model(spec: DecoderSpec, params, cycle_len: int):
+    """Benchmark rig: make GREEDY output follow permutation cycles of
+    ``cycle_len`` while keeping every matmul at full shape (zeroed
+    residual-write projections + permuted-embedding lm head) — a
+    synthetic generator of repetition-heavy output at the real model's
+    per-forward cost. Pretrained checkpoints are unreachable offline
+    and random weights cannot restate spans, so this is how the
+    prompt-lookup speculation workload (doc-QA/extraction-style
+    repetition) is produced for A/Bs (scripts/lookup_ab.py,
+    scripts/serving_series.py --lookup). Never enable for accuracy
+    work."""
+    import numpy as np
+
+    L = int(cycle_len)
+    v = spec.vocab - spec.vocab % L
+    perm = np.arange(spec.vocab)
+    blocks = perm[:v].reshape(-1, L)
+    perm[:v] = np.roll(blocks, -1, axis=1).reshape(-1)
+    inv = np.argsort(perm)
+    for layer in params["layers"]:
+        layer["attn"]["o"]["w"][:] = 0
+        layer["mlp"]["down"]["w"][:] = 0
+    params["lm_head"]["w"] = np.ascontiguousarray(
+        params["embed"]["w"][inv].T
+    )
+    return params
+
+
 def _build_decoder(variant: str, options) -> ModelDefinition:
     spec = get_spec(variant, options)
     seq_len = int(options.get("seq_len", 128))
+    copy_cycle = int(options.get("copy_model_cycle", 0))
 
     def init(rng):
-        return init_params(spec, rng)
+        params = init_params(spec, rng)
+        if copy_cycle:
+            params = rig_copy_model(spec, params, copy_cycle)
+        return params
 
     def apply(params, inputs, dtype):
         ids = inputs["input_ids"].astype(jnp.int32)

@@ -267,6 +267,7 @@ class GenerationEngine:
         speculate_k: int = 4,
         prompt_lookup_ngram: int = 0,
         pipe_microgroups: int = 0,
+        pin_cache_layouts: bool = False,
         prefix_cache: bool = False,
         prefix_cache_min: int = 16,
         decode_overlap: bool = False,
@@ -300,6 +301,12 @@ class GenerationEngine:
         self.mesh = mesh
         self._family = family
         self._pipe_stages = 0
+        # cache ENTRY/EXIT layout formats (single-device pinning; see
+        # _std_format_tree and _pin for the measured upside and why the
+        # default is OFF) — None under a mesh, where _pin is a no-op
+        self._pin_layouts = bool(pin_cache_layouts)
+        self._cache_fmt = None
+        self._draft_fmt = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -421,13 +428,19 @@ class GenerationEngine:
             self.kv_pool_pages = int(kv_pool_pages) or (
                 1 + num_slots * (max_len // self.kv_page_size) // 2
             )
-            self.cache = jax.device_put(
-                init_paged_cache(
-                    spec, num_slots, max_len,
-                    num_pages=self.kv_pool_pages,
-                    page_size=self.kv_page_size,
-                )
+            paged0 = init_paged_cache(
+                spec, num_slots, max_len,
+                num_pages=self.kv_pool_pages,
+                page_size=self.kv_page_size,
             )
+            # opt-in pool-layout pinning, like the dense cache (see
+            # _std_format_tree): the paged pools have the same
+            # compact-vs-body layout divergence
+            if self._pin_layouts:
+                self._cache_fmt = self._std_format_tree(paged0)
+                self.cache = jax.device_put(paged0, self._cache_fmt)
+            else:
+                self.cache = jax.device_put(paged0)
             # host-side allocator: free pool page ids (page 0 reserved as
             # the garbage page) + per-slot grants. Immediate free at
             # release is safe: every program (prefill, table install,
@@ -449,9 +462,9 @@ class GenerationEngine:
             self._retained: set = set()
             from ..models.paged_decoder import set_table_row
 
-            self._set_table_row = jax.jit(
-                set_table_row, donate_argnums=(0,)
-            )
+            self._set_table_row = jax.jit(set_table_row, **self._pin(
+                (0,), 3, {0: self._cache_fmt}, 1, {0: self._cache_fmt}
+            ))
         else:
             self.kv_pool_pages = 0
             # pipe mode keeps the STACKED layout (the [L] axis shards
@@ -505,21 +518,33 @@ class GenerationEngine:
                     f"vocab ({spec.vocab})"
                 )
             self._draft_params = self._place_draft_params(draft_params)
-            self._draft_cache: KVCache = self._place_draft_cache(
-                init_cache(draft_spec, num_slots, max_len)
+            draft_cache0 = init_cache(draft_spec, num_slots, max_len)
+            self._draft_fmt = (
+                self._std_format_tree(draft_cache0)
+                if self.mesh is None and self._pin_layouts else None
+            )
+            self._draft_cache: KVCache = (
+                jax.device_put(draft_cache0, self._draft_fmt)
+                if self._draft_fmt is not None
+                else self._place_draft_cache(draft_cache0)
             )
             self._draft_prefill = jax.jit(
                 partial(prefill, draft_spec, dtype=self.dtype),
-                donate_argnums=(1,),
+                **self._pin((1,), 5, {1: self._draft_fmt},
+                            2, {0: self._draft_fmt}),
             )
             # chunked prefill composes: each chunk advances BOTH caches
             # (the draft must hold the prompt before it can draft)
             self._draft_prefill_chunk = jax.jit(
                 partial(prefill_chunk_step, draft_spec, dtype=self.dtype),
-                donate_argnums=(1,),
+                **self._pin((1,), 6, {1: self._draft_fmt},
+                            2, {0: self._draft_fmt}),
             )
             self._spec_decode = jax.jit(
-                self._speculative_block, donate_argnums=(2, 3)
+                self._speculative_block,
+                **self._pin((2, 3),
+                            12, {2: self._cache_fmt, 3: self._draft_fmt},
+                            6, {0: self._cache_fmt, 1: self._draft_fmt}),
             )
 
         # prompt-lookup speculation: drafts come from the sequence's own
@@ -543,7 +568,9 @@ class GenerationEngine:
                 jnp.zeros((num_slots, max_len), jnp.int32)
             )
             self._lookup_decode = jax.jit(
-                self._prompt_lookup_block, donate_argnums=(1, 2)
+                self._prompt_lookup_block,
+                **self._pin((1, 2), 11, {1: self._cache_fmt},
+                            6, {0: self._cache_fmt}),
             )
             self._seed_history = jax.jit(
                 lambda history, row, slot: history.at[slot].set(row),
@@ -592,7 +619,8 @@ class GenerationEngine:
             self._prefill_raw = partial(paged_prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
                 self._wrap_prefill(self._prefill_raw),
-                donate_argnums=(1,),
+                **self._pin((1,), 5, {1: self._cache_fmt},
+                            2, {0: self._cache_fmt}),
             )
             self._step_fn = partial(paged_decode_step, spec, dtype=self.dtype)
             self._verify_fn = partial(
@@ -601,7 +629,9 @@ class GenerationEngine:
         else:
             self._prefill_raw = partial(prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                self._wrap_prefill(self._prefill_raw), donate_argnums=(1,)
+                self._wrap_prefill(self._prefill_raw),
+                **self._pin((1,), 5, {1: self._cache_fmt},
+                            2, {0: self._cache_fmt}),
             )
             self._step_fn = partial(decode_step, spec, dtype=self.dtype)
             self._verify_fn = partial(verify_step, spec, dtype=self.dtype)
@@ -616,10 +646,14 @@ class GenerationEngine:
             self._prefill_many = None
         else:
             self._prefill_many = jax.jit(
-                self._prefill_many_fn, donate_argnums=(1,)
+                self._prefill_many_fn,
+                **self._pin((1,), 5, {1: self._cache_fmt},
+                            2, {0: self._cache_fmt}),
             )
         self._decode = jax.jit(
-            self._decode_and_sample, donate_argnums=(1,)
+            self._decode_and_sample,
+            **self._pin((1,), 10, {1: self._cache_fmt},
+                        5, {0: self._cache_fmt}),
         )
         if self.kv_page_size:
             from ..models.paged_decoder import paged_prefill_chunk
@@ -628,14 +662,16 @@ class GenerationEngine:
                 self._wrap_prefill(
                     partial(paged_prefill_chunk, spec, dtype=self.dtype)
                 ),
-                donate_argnums=(1,),
+                **self._pin((1,), 6, {1: self._cache_fmt},
+                            2, {0: self._cache_fmt}),
             )
         else:
             self._prefill_chunk_fn = jax.jit(
                 self._wrap_prefill(
                     partial(prefill_chunk_step, spec, dtype=self.dtype)
                 ),
-                donate_argnums=(1,),
+                **self._pin((1,), 6, {1: self._cache_fmt},
+                            2, {0: self._cache_fmt}),
             )
         self._prefilling: Optional[_PrefillProgress] = None
         # async admission state: slots whose prefill is dispatched but
@@ -707,9 +743,72 @@ class GenerationEngine:
             return jax.device_put(pack_int4_tree(params))
         return jax.device_put(params)
 
+    def _std_format_tree(self, tree):
+        """Explicit standard-layout Format per leaf (single device).
+
+        WHY (round-5 dispatch-bubble fix): XLA stores s8[S,T,Hkv,64]
+        cache buffers in a compact {1,3,2,0} entry layout (the standard
+        layout pads D=64 to 128 lanes) while every program BODY computes
+        in the standard {3,2,1,0} layout — so each standalone decode
+        block converted the whole cache at entry AND exit (4.6 GB ≈
+        56 ms at S=128, the entire raw-vs-dispatch gap; HLO census in
+        scripts/layout_pin_probe.py). Declaring standard-layout Formats
+        on the cache's jit entries/exits and placing the buffers in that
+        layout once removes every conversion: dispatch-only throughput
+        measured 8,691 -> 11,780 tok/s at dense-128 (+36%). Costs padded
+        HBM storage — bandwidth for speed, the right trade on this
+        serving path."""
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = SingleDeviceSharding(jax.devices()[0])
+        return jax.tree.map(
+            lambda a: Format(
+                Layout(major_to_minor=tuple(range(a.ndim))), dev
+            ),
+            tree,
+        )
+
+    def _pin(self, donate, n_in, in_fmts, n_out, out_fmts):
+        """jax.jit kwargs pinning cache ENTRY/EXIT layouts at the given
+        positional indices (single-device engines only — mesh paths
+        keep their shardings).
+
+        OPT-IN (``pin_cache_layouts``): measured +36% dispatch-only /
+        +35% engine throughput at dense-128 (the conversion copies
+        disappear; scripts/layout_pin_probe.py), but the axon
+        remote-compile backend's executable cache can return a
+        shape-identical executable compiled WITHOUT the pinned layouts
+        (its key evidently excludes entry/exit layouts), whose compact
+        outputs then fail the next pinned call's layout check
+        nondeterministically. Until that transport bug is fixed, the
+        default stays off; enable on backends with a trustworthy
+        compile cache."""
+        if self.mesh is not None or not self._pin_layouts:
+            return {"donate_argnums": donate}
+        in_sh = [None] * n_in
+        for pos, fmt in in_fmts.items():
+            in_sh[pos] = fmt
+        if n_out == 1:
+            # single (possibly pytree) output: not wrapped in a tuple
+            out_sh = out_fmts.get(0)
+        else:
+            out_list = [None] * n_out
+            for pos, fmt in out_fmts.items():
+                out_list[pos] = fmt
+            out_sh = tuple(out_list)
+        return {
+            "donate_argnums": donate,
+            "in_shardings": tuple(in_sh),
+            "out_shardings": out_sh,
+        }
+
     def _place_cache(self, cache0: KVCache) -> KVCache:
         if self.mesh is None:
-            return jax.device_put(cache0)
+            if not self._pin_layouts:
+                return jax.device_put(cache0)
+            self._cache_fmt = self._std_format_tree(cache0)
+            return jax.device_put(cache0, self._cache_fmt)
         return KVCache(
             k=jax.device_put(cache0.k, self._cache_sharding),
             v=jax.device_put(cache0.v, self._cache_sharding),

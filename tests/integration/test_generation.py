@@ -148,3 +148,45 @@ def test_batched_prefill_matches_sequential():
         assert got == solo
     finally:
         eng.stop()
+
+
+def test_pinned_cache_layouts_parity():
+    """pin_cache_layouts=True (opt-in entry/exit layout pinning, round
+    5): tokens must match the unpinned engine exactly. On CPU the
+    pinned layout equals the default, so this exercises the Format
+    plumbing (in/out_shardings on every cache-touching jit), not a
+    relayout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starpu_inference_server_tpu.models.decoder import (
+        get_spec,
+        init_params,
+    )
+    from starpu_inference_server_tpu.serving.generation import (
+        GenerationEngine,
+        GenerationRequest,
+    )
+
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128,
+                                   "q_heads": 4, "kv_heads": 2,
+                                   "intermediate": 256, "vocab": 128})
+    params = init_params(spec, np.random.default_rng(0))
+    outs = []
+    for pin in (False, True):
+        eng = GenerationEngine(
+            spec, params, dtype=jnp.float32, num_slots=4, max_len=64,
+            prefill_buckets=[8], steps_per_sync=2,
+            pin_cache_layouts=pin,
+        )
+        eng.start()
+        try:
+            reqs = [GenerationRequest(prompt_ids=np.asarray(p, np.int32),
+                                      max_new_tokens=6)
+                    for p in ([3, 7, 11], [5, 2])]
+            for r in reqs:
+                eng.submit(r)
+            outs.append([r.result(timeout=120) for r in reqs])
+        finally:
+            eng.stop()
+    assert outs[0] == outs[1]
