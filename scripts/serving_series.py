@@ -159,6 +159,11 @@ def main() -> int:
             max_len = 128 if args.tiny else 1024
             options["kv_page_size"] = page
             options["kv_pool_pages"] = 1 + slots * (max_len // page) // 2
+        elif kind == "lookuprand":
+            # lookup machinery on RANDOM weights (no repetition to
+            # exploit): the no-loss floor at serving level
+            options["speculate_k"] = 2 if args.tiny else 4
+            options["prompt_lookup_ngram"] = 2
         elif kind in ("copyplain", "lookup"):
             # copy-model weights (models/decoder.rig_copy_model): greedy
             # output follows permutation cycles at the full model's
