@@ -618,7 +618,7 @@ class GenerationEngine:
 
             self._prefill_raw = partial(paged_prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                self._wrap_prefill(self._prefill_raw),
+                self._salted(self._wrap_prefill(self._prefill_raw)),
                 **self._pin((1,), 5, {1: self._cache_fmt},
                             2, {0: self._cache_fmt}),
             )
@@ -629,7 +629,7 @@ class GenerationEngine:
         else:
             self._prefill_raw = partial(prefill, spec, dtype=self.dtype)
             self._prefill = jax.jit(
-                self._wrap_prefill(self._prefill_raw),
+                self._salted(self._wrap_prefill(self._prefill_raw)),
                 **self._pin((1,), 5, {1: self._cache_fmt},
                             2, {0: self._cache_fmt}),
             )
@@ -646,12 +646,12 @@ class GenerationEngine:
             self._prefill_many = None
         else:
             self._prefill_many = jax.jit(
-                self._prefill_many_fn,
+                self._salted(self._prefill_many_fn),
                 **self._pin((1,), 5, {1: self._cache_fmt},
                             2, {0: self._cache_fmt}),
             )
         self._decode = jax.jit(
-            self._decode_and_sample,
+            self._salted(self._decode_and_sample),
             **self._pin((1,), 10, {1: self._cache_fmt},
                         5, {0: self._cache_fmt}),
         )
@@ -659,17 +659,17 @@ class GenerationEngine:
             from ..models.paged_decoder import paged_prefill_chunk
 
             self._prefill_chunk_fn = jax.jit(
-                self._wrap_prefill(
+                self._salted(self._wrap_prefill(
                     partial(paged_prefill_chunk, spec, dtype=self.dtype)
-                ),
+                )),
                 **self._pin((1,), 6, {1: self._cache_fmt},
                             2, {0: self._cache_fmt}),
             )
         else:
             self._prefill_chunk_fn = jax.jit(
-                self._wrap_prefill(
+                self._salted(self._wrap_prefill(
                     partial(prefill_chunk_step, spec, dtype=self.dtype)
-                ),
+                )),
                 **self._pin((1,), 6, {1: self._cache_fmt},
                             2, {0: self._cache_fmt}),
             )
@@ -769,6 +769,30 @@ class GenerationEngine:
             tree,
         )
 
+    def _salted(self, fn):
+        """Make a PINNED program's HLO differ from any unpinned
+        compilation of the same computation.
+
+        Mixing an optimization_barrier'd scalar into the cache lengths
+        puts two un-foldable adds into the HLO, making a pinned
+        program's module distinct from any unpinned compilation of the
+        same computation — this was the experiment that RULED OUT a
+        stale-executable-cache explanation for the pinning failures
+        (the salted flow still failed nondeterministically, so the
+        backend itself drops the layout request; see _pin). Kept so
+        pinned programs stay cache-distinct on backends where the flag
+        is usable. No-op numerically; only applied when pinning is
+        on."""
+        if not self._pin_layouts:
+            return fn
+
+        def wrapped(params, cache, *rest):
+            salt = jax.lax.optimization_barrier(jnp.int32(1))
+            cache = cache._replace(lengths=cache.lengths + salt - salt)
+            return fn(params, cache, *rest)
+
+        return wrapped
+
     def _pin(self, donate, n_in, in_fmts, n_out, out_fmts):
         """jax.jit kwargs pinning cache ENTRY/EXIT layouts at the given
         positional indices (single-device engines only — mesh paths
@@ -777,13 +801,15 @@ class GenerationEngine:
         OPT-IN (``pin_cache_layouts``): measured +36% dispatch-only /
         +35% engine throughput at dense-128 (the conversion copies
         disappear; scripts/layout_pin_probe.py), but the axon
-        remote-compile backend's executable cache can return a
-        shape-identical executable compiled WITHOUT the pinned layouts
-        (its key evidently excludes entry/exit layouts), whose compact
-        outputs then fail the next pinned call's layout check
-        nondeterministically. Until that transport bug is fixed, the
-        default stays off; enable on backends with a trustworthy
-        compile cache."""
+        remote-compile backend NONDETERMINISTICALLY drops the requested
+        entry/exit layouts: identical scripts pass or fail across runs
+        with some executable returning compact-layout outputs that fail
+        the next pinned call's check. A compile-key salt
+        (``_salted`` — unique HLO per pinned program) did NOT fix it,
+        ruling out a stale executable cache: the backend itself loses
+        the layout request. Until that transport bug is fixed the
+        default stays off; on a backend that honors jit Formats the
+        flag is a free +36%."""
         if self.mesh is not None or not self._pin_layouts:
             return {"donate_argnums": donate}
         in_sh = [None] * n_in
