@@ -204,6 +204,11 @@ class InferenceServer:
                 # generation.py _pin)
                 pin_cache_layouts=bool(opts.get("pin_cache_layouts",
                                                 False)),
+                # FLAT cache layout: lane-aligned [S, T, Hkv*D] leaves
+                # kill the per-block whole-cache layout conversion
+                # structurally (the robust form of the pinning fix)
+                kv_cache_layout=str(opts.get("kv_cache_layout",
+                                             "standard")),
                 # tunneled transports wedge fetches; serving default 120s
                 fetch_timeout_s=float(opts.get("fetch_timeout_s", 120.0)),
                 metrics=getattr(self.observability, "metrics", None),

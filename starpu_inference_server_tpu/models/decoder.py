@@ -99,6 +99,16 @@ class KVCache(NamedTuple):
     - STACKED (pipe mode): single arrays with a leading [L] axis so the
       layer dim shards over the mesh 'pipe' axis
       (parallel/pipeline_decode.py keeps this layout).
+    - FLAT (layered + ``flat=True``): per-layer leaves int8
+      [S, T, H_kv*D] with scales f32 [S, H_kv, T]. Every minor dim is
+      lane-aligned, so XLA's compact parameter layout IS the standard
+      layout and standalone decode-block programs stop paying the
+      whole-cache entry/exit layout conversion that the standard
+      s8[..., H_kv, 64] shape provokes (~4.6 GB ≈ 56 ms per block at
+      dense-128; see ops/decode_attention.py's flat-layout section and
+      scripts/layout_pin_probe.py) — the structural version of the
+      opt-in ``pin_cache_layouts`` fix, with no backend cooperation
+      needed.
     """
 
     k: object             # tuple of int8 [S, T, H_kv, D] | int8 [L, S, T, H_kv, D]
@@ -112,6 +122,10 @@ class KVCache(NamedTuple):
         return isinstance(self.k, (tuple, list))
 
     @property
+    def flat(self) -> bool:
+        return self.layered and self.k[0].ndim == 3
+
+    @property
     def num_slots(self) -> int:
         return self.k[0].shape[0] if self.layered else self.k.shape[1]
 
@@ -120,15 +134,50 @@ class KVCache(NamedTuple):
         return self.k[0].shape[1] if self.layered else self.k.shape[2]
 
 
+def _flat_rows(t: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, D] new-token K/V -> [..., H*D] flat rows."""
+    return t.reshape(t.shape[:-2] + (t.shape[-2] * t.shape[-1],))
+
+
+def _std_kv_view(spec: DecoderSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """FLAT [..., T, H*D] -> standard [..., T, H, D] view (fallback
+    paths only; materializes a relayout inside the program)."""
+    return a.reshape(a.shape[:-1] + (spec.kv_heads, spec.head_dim))
+
+
+def _std_scale_view(a: jnp.ndarray) -> jnp.ndarray:
+    """FLAT scales [..., H, T] -> standard [..., T, H]."""
+    return jnp.swapaxes(a, -1, -2)
+
+
 def init_cache(spec: DecoderSpec, num_slots: int, max_len: int,
-               stacked: bool = False) -> KVCache:
+               stacked: bool = False, flat: bool = False) -> KVCache:
     shape = (num_slots, max_len, spec.kv_heads, spec.head_dim)
     if stacked:
+        if flat:
+            raise ValueError(
+                "flat cache layout does not compose with the stacked "
+                "(pipe-mode) layout: the pipe stages' cache specs shard "
+                "the head axis over 'model', which the flat [T, H*D] "
+                "rows fold away"
+            )
         return KVCache(
             k=jnp.zeros((spec.layers,) + shape, jnp.int8),
             v=jnp.zeros((spec.layers,) + shape, jnp.int8),
             k_scale=jnp.zeros((spec.layers,) + shape[:-1], jnp.float32),
             v_scale=jnp.zeros((spec.layers,) + shape[:-1], jnp.float32),
+            lengths=jnp.zeros((num_slots,), jnp.int32),
+        )
+    if flat:
+        fshape = (num_slots, max_len, spec.kv_heads * spec.head_dim)
+        sshape = (num_slots, spec.kv_heads, max_len)
+        return KVCache(
+            k=tuple(jnp.zeros(fshape, jnp.int8) for _ in range(spec.layers)),
+            v=tuple(jnp.zeros(fshape, jnp.int8) for _ in range(spec.layers)),
+            k_scale=tuple(jnp.zeros(sshape, jnp.float32)
+                          for _ in range(spec.layers)),
+            v_scale=tuple(jnp.zeros(sshape, jnp.float32)
+                          for _ in range(spec.layers)),
             lengths=jnp.zeros((num_slots,), jnp.int32),
         )
     return KVCache(
@@ -148,6 +197,8 @@ def stack_cache(cache: KVCache) -> KVCache:
     never convert)."""
     if not cache.layered:
         return cache
+    if cache.flat:
+        raise ValueError("flat cache layout cannot be stacked (pipe mode)")
     return cache._replace(
         k=jnp.stack(cache.k), v=jnp.stack(cache.v),
         k_scale=jnp.stack(cache.k_scale), v_scale=jnp.stack(cache.v_scale),
@@ -392,17 +443,30 @@ def prefill(
         # per-layer buffers update in place (rows past ``length`` keep
         # stale values that are overwritten before they can be attended
         # — the standard mask/write-ordering invariant)
-        cache = _with_layer(
-            cache, li,
-            jax.lax.dynamic_update_slice(cache.k[li], kq[None],
-                                         (slot, zero, zero, zero)),
-            jax.lax.dynamic_update_slice(cache.v[li], vq[None],
-                                         (slot, zero, zero, zero)),
-            jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
-                                         (slot, zero, zero)),
-            jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
-                                         (slot, zero, zero)),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                jax.lax.dynamic_update_slice(
+                    cache.k[li], _flat_rows(kq)[None], (slot, zero, zero)),
+                jax.lax.dynamic_update_slice(
+                    cache.v[li], _flat_rows(vq)[None], (slot, zero, zero)),
+                jax.lax.dynamic_update_slice(
+                    cache.k_scale[li], kscale.T[None], (slot, zero, zero)),
+                jax.lax.dynamic_update_slice(
+                    cache.v_scale[li], vscale.T[None], (slot, zero, zero)),
+            )
+        else:
+            cache = _with_layer(
+                cache, li,
+                jax.lax.dynamic_update_slice(cache.k[li], kq[None],
+                                             (slot, zero, zero, zero)),
+                jax.lax.dynamic_update_slice(cache.v[li], vq[None],
+                                             (slot, zero, zero, zero)),
+                jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
+                                             (slot, zero, zero)),
+                jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
+                                             (slot, zero, zero)),
+            )
         rep = spec.q_heads // spec.kv_heads
         if _use_fused_prefill_attention(spec, p):
             from ..ops.prefill_attention import causal_attention
@@ -481,30 +545,53 @@ def prefill_chunk(
         kq, kscale = _quantize_kv(k[0])   # [C, H_kv, D], [C, H_kv]
         vq, vscale = _quantize_kv(v[0])
         zero = jnp.zeros((), jnp.int32)
-        cache = _with_layer(
-            cache, li,
-            jax.lax.dynamic_update_slice(cache.k[li], kq[None],
-                                         (slot, start, zero, zero)),
-            jax.lax.dynamic_update_slice(cache.v[li], vq[None],
-                                         (slot, start, zero, zero)),
-            jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
-                                         (slot, start, zero)),
-            jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
-                                         (slot, start, zero)),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                jax.lax.dynamic_update_slice(
+                    cache.k[li], _flat_rows(kq)[None], (slot, start, zero)),
+                jax.lax.dynamic_update_slice(
+                    cache.v[li], _flat_rows(vq)[None], (slot, start, zero)),
+                jax.lax.dynamic_update_slice(
+                    cache.k_scale[li], kscale.T[None], (slot, zero, start)),
+                jax.lax.dynamic_update_slice(
+                    cache.v_scale[li], vscale.T[None], (slot, zero, start)),
+            )
+            # standard-shape views of the slot's row for the attention
+            # read-back (one small relayout temp per layer — prefill is
+            # compute-bound, the FLAT win is on the decode hot path)
+            row_ck = _std_kv_view(spec, cache.k[li][slot])
+            row_cv = _std_kv_view(spec, cache.v[li][slot])
+            row_cks = _std_scale_view(cache.k_scale[li][slot])
+            row_cvs = _std_scale_view(cache.v_scale[li][slot])
+        else:
+            cache = _with_layer(
+                cache, li,
+                jax.lax.dynamic_update_slice(cache.k[li], kq[None],
+                                             (slot, start, zero, zero)),
+                jax.lax.dynamic_update_slice(cache.v[li], vq[None],
+                                             (slot, start, zero, zero)),
+                jax.lax.dynamic_update_slice(cache.k_scale[li], kscale[None],
+                                             (slot, start, zero)),
+                jax.lax.dynamic_update_slice(cache.v_scale[li], vscale[None],
+                                             (slot, start, zero)),
+            )
+            row_ck = cache.k[li][slot]
+            row_cv = cache.v[li][slot]
+            row_cks = cache.k_scale[li][slot]
+            row_cvs = cache.v_scale[li][slot]
 
         if _use_fused_prefill_attention(spec, t_max, min_seq=512):
             from ..ops.prefill_attention import chunk_prefill_attention
 
             attn = chunk_prefill_attention(
-                q[0], cache.k[li][slot], cache.v[li][slot],
-                cache.k_scale[li][slot], cache.v_scale[li][slot],
+                q[0], row_ck, row_cv, row_cks, row_cvs,
                 k[0], v[0], start, rep=rep, out_dtype=dtype,
             ).reshape(1, c, spec.q_heads * spec.head_dim)
         else:
             # past attention over the INT8 cache row (positions < start)
-            row_k = _dequantize_kv(cache.k[li][slot], cache.k_scale[li][slot], dtype)  # [T,H,D]
-            row_v = _dequantize_kv(cache.v[li][slot], cache.v_scale[li][slot], dtype)
+            row_k = _dequantize_kv(row_ck, row_cks, dtype)  # [T,H,D]
+            row_v = _dequantize_kv(row_cv, row_cvs, dtype)
             row_k = jnp.repeat(row_k, rep, axis=1)[None]
             row_v = jnp.repeat(row_v, rep, axis=1)[None]
             s_past = jnp.einsum("bqhd,bkhd->bhqk", q, row_k, preferred_element_type=jnp.float32) * inv
@@ -604,13 +691,22 @@ def decode_step(
         # attended (mask is key_pos <= length, writes precede the attend).
         slot_idx = jnp.arange(s)
         write_pos = jnp.where(active, positions, t_max - 1)
-        cache = _with_layer(
-            cache, li,
-            cache.k[li].at[slot_idx, write_pos].set(kq),
-            cache.v[li].at[slot_idx, write_pos].set(vq),
-            cache.k_scale[li].at[slot_idx, write_pos].set(kscale),
-            cache.v_scale[li].at[slot_idx, write_pos].set(vscale),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[slot_idx, write_pos].set(_flat_rows(kq)),
+                cache.v[li].at[slot_idx, write_pos].set(_flat_rows(vq)),
+                cache.k_scale[li].at[slot_idx, :, write_pos].set(kscale),
+                cache.v_scale[li].at[slot_idx, :, write_pos].set(vscale),
+            )
+        else:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[slot_idx, write_pos].set(kq),
+                cache.v[li].at[slot_idx, write_pos].set(vq),
+                cache.k_scale[li].at[slot_idx, write_pos].set(kscale),
+                cache.v_scale[li].at[slot_idx, write_pos].set(vscale),
+            )
 
         rep = spec.q_heads // spec.kv_heads
         if _use_fused_decode_attention(spec, t_max):
@@ -631,8 +727,16 @@ def decode_step(
                 rep=rep,
             ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         else:
-            k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)  # [S,T,H,D]
-            v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+            if cache.flat:
+                k_all = _dequantize_kv(
+                    _std_kv_view(spec, cache.k[li]),
+                    _std_scale_view(cache.k_scale[li]), dtype)  # [S,T,H,D]
+                v_all = _dequantize_kv(
+                    _std_kv_view(spec, cache.v[li]),
+                    _std_scale_view(cache.v_scale[li]), dtype)
+            else:
+                k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
+                v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
             logits = jnp.einsum(
@@ -710,13 +814,22 @@ def verify_step(
         kq, kscale = _quantize_kv(k)   # [S, W, H, D], [S, W, H]
         vq, vscale = _quantize_kv(v)
         sl = slot_idx[:, None]
-        cache = _with_layer(
-            cache, li,
-            cache.k[li].at[sl, write_pos].set(kq),
-            cache.v[li].at[sl, write_pos].set(vq),
-            cache.k_scale[li].at[sl, write_pos].set(kscale),
-            cache.v_scale[li].at[sl, write_pos].set(vscale),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[sl, write_pos].set(_flat_rows(kq)),
+                cache.v[li].at[sl, write_pos].set(_flat_rows(vq)),
+                cache.k_scale[li].at[sl, :, write_pos].set(kscale),
+                cache.v_scale[li].at[sl, :, write_pos].set(vscale),
+            )
+        else:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[sl, write_pos].set(kq),
+                cache.v[li].at[sl, write_pos].set(vq),
+                cache.k_scale[li].at[sl, write_pos].set(kscale),
+                cache.v_scale[li].at[sl, write_pos].set(vscale),
+            )
 
         if _use_fused_decode_attention(spec, t_max):
             from ..ops.decode_attention import window_decode_attention
@@ -726,8 +839,16 @@ def verify_step(
                 cache.v_scale[li], start, rep=rep,
             ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
         else:
-            k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
-            v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
+            if cache.flat:
+                k_all = _dequantize_kv(
+                    _std_kv_view(spec, cache.k[li]),
+                    _std_scale_view(cache.k_scale[li]), dtype)
+                v_all = _dequantize_kv(
+                    _std_kv_view(spec, cache.v[li]),
+                    _std_scale_view(cache.v_scale[li]), dtype)
+            else:
+                k_all = _dequantize_kv(cache.k[li], cache.k_scale[li], dtype)
+                v_all = _dequantize_kv(cache.v[li], cache.v_scale[li], dtype)
             k_all = jnp.repeat(k_all, rep, axis=2)  # [S, T, Hq, D]
             v_all = jnp.repeat(v_all, rep, axis=2)
             logits = jnp.einsum(

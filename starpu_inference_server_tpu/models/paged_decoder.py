@@ -41,9 +41,12 @@ import jax.numpy as jnp
 from .decoder import (
     DecoderSpec,
     _dequantize_kv,
+    _flat_rows,
     _mlp_block,
     _project_qkv,
     _quantize_kv,
+    _std_kv_view,
+    _std_scale_view,
     _with_layer,
     rms_norm,
     rope,
@@ -72,6 +75,15 @@ class PagedKVCache(NamedTuple):
     lengths: jnp.ndarray  # int32 [S]
 
     @property
+    def flat(self) -> bool:
+        """FLAT layout: pools int8 [N, page, H_kv*D] with scales f32
+        [N, H_kv, page] — the paged version of the dense flat layout
+        (models/decoder.KVCache: lane-aligned minor dims make XLA's
+        compact parameter layout the standard layout, killing the
+        per-program whole-pool layout conversion)."""
+        return self.k[0].ndim == 3
+
+    @property
     def num_slots(self) -> int:
         return self.table.shape[0]
 
@@ -94,21 +106,28 @@ def init_paged_cache(
     max_len: int,
     num_pages: int,
     page_size: int = 128,
+    flat: bool = False,
 ) -> PagedKVCache:
     """``num_pages`` INCLUDES the reserved garbage page 0 (the allocator
-    hands out 1..num_pages-1)."""
+    hands out 1..num_pages-1). ``flat`` selects the lane-aligned FLAT
+    pool layout (see :class:`PagedKVCache`)."""
     if max_len % page_size != 0:
         raise ValueError(f"max_len ({max_len}) % page_size ({page_size}) != 0")
     if num_pages < 2:
         raise ValueError("num_pages must be >= 2 (page 0 is reserved)")
     max_pages = max_len // page_size
-    shape = (num_pages, page_size, spec.kv_heads, spec.head_dim)
+    if flat:
+        shape = (num_pages, page_size, spec.kv_heads * spec.head_dim)
+        sshape = (num_pages, spec.kv_heads, page_size)
+    else:
+        shape = (num_pages, page_size, spec.kv_heads, spec.head_dim)
+        sshape = shape[:-1]
     return PagedKVCache(
         k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
         v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(spec.layers)),
-        k_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+        k_scale=tuple(jnp.zeros(sshape, jnp.float32)
                       for _ in range(spec.layers)),
-        v_scale=tuple(jnp.zeros(shape[:-1], jnp.float32)
+        v_scale=tuple(jnp.zeros(sshape, jnp.float32)
                       for _ in range(spec.layers)),
         table=jnp.zeros((num_slots, max_pages), jnp.int32),
         lengths=jnp.zeros((num_slots,), jnp.int32),
@@ -127,6 +146,42 @@ def _gather_slot_rows(pool_l, table):
     [S, MP*page, ...] logical rows."""
     g = pool_l[table]  # [S, MP, page, ...]
     return g.reshape((g.shape[0], g.shape[1] * g.shape[2]) + g.shape[3:])
+
+
+def _gather_slot_scales_flat(pool_l, table):
+    """Fallback view for FLAT scales: [N, H, page] pool + [S, MP] table
+    -> standard [S, MP*page, H] logical rows."""
+    g = pool_l[table]  # [S, MP, H, page]
+    g = g.transpose(0, 1, 3, 2)  # [S, MP, page, H]
+    return g.reshape(g.shape[0], g.shape[1] * g.shape[2], g.shape[3])
+
+
+def _gather_std(spec, cache, li, dtype):
+    """Logical [S, T, Hq-unrepeated] dequantized K/V for layer ``li`` in
+    either pool layout (fallback paths; CPU tests / interpret mode)."""
+    if cache.flat:
+        k = _dequantize_kv(
+            _std_kv_view(spec, _gather_slot_rows(cache.k[li], cache.table)),
+            _gather_slot_scales_flat(cache.k_scale[li], cache.table),
+            dtype,
+        )
+        v = _dequantize_kv(
+            _std_kv_view(spec, _gather_slot_rows(cache.v[li], cache.table)),
+            _gather_slot_scales_flat(cache.v_scale[li], cache.table),
+            dtype,
+        )
+        return k, v
+    k = _dequantize_kv(
+        _gather_slot_rows(cache.k[li], cache.table),
+        _gather_slot_rows(cache.k_scale[li], cache.table),
+        dtype,
+    )
+    v = _dequantize_kv(
+        _gather_slot_rows(cache.v[li], cache.table),
+        _gather_slot_rows(cache.v_scale[li], cache.table),
+        dtype,
+    )
+    return k, v
 
 
 # -- prefill (bucket path): write a whole padded prompt into one slot ------
@@ -169,10 +224,16 @@ def paged_prefill(
             pid = cache.table[slot, j]
             lo, hi = j * page, min((j + 1) * page, p)
             n = hi - lo
-            ck = ck.at[pid, :n].set(kq[lo:hi])
-            cv = cv.at[pid, :n].set(vq[lo:hi])
-            cks = cks.at[pid, :n].set(kscale[lo:hi])
-            cvs = cvs.at[pid, :n].set(vscale[lo:hi])
+            if cache.flat:
+                ck = ck.at[pid, :n].set(_flat_rows(kq[lo:hi]))
+                cv = cv.at[pid, :n].set(_flat_rows(vq[lo:hi]))
+                cks = cks.at[pid, :, :n].set(kscale[lo:hi].T)
+                cvs = cvs.at[pid, :, :n].set(vscale[lo:hi].T)
+            else:
+                ck = ck.at[pid, :n].set(kq[lo:hi])
+                cv = cv.at[pid, :n].set(vq[lo:hi])
+                cks = cks.at[pid, :n].set(kscale[lo:hi])
+                cvs = cvs.at[pid, :n].set(vscale[lo:hi])
         cache = _with_layer(cache, li, ck, cv, cks, cvs)
 
         # in-prompt attention needs no cache read (single-shot prefill)
@@ -246,25 +307,47 @@ def paged_prefill_chunk(
         for j in range(pages_per_chunk):
             pid = cache.table[slot, first_page + j]
             lo = j * page
-            ck = ck.at[pid].set(kq[lo : lo + page])
-            cv = cv.at[pid].set(vq[lo : lo + page])
-            cks = cks.at[pid].set(kscale[lo : lo + page])
-            cvs = cvs.at[pid].set(vscale[lo : lo + page])
+            if cache.flat:
+                ck = ck.at[pid].set(_flat_rows(kq[lo : lo + page]))
+                cv = cv.at[pid].set(_flat_rows(vq[lo : lo + page]))
+                cks = cks.at[pid].set(kscale[lo : lo + page].T)
+                cvs = cvs.at[pid].set(vscale[lo : lo + page].T)
+            else:
+                ck = ck.at[pid].set(kq[lo : lo + page])
+                cv = cv.at[pid].set(vq[lo : lo + page])
+                cks = cks.at[pid].set(kscale[lo : lo + page])
+                cvs = cvs.at[pid].set(vscale[lo : lo + page])
         cache = _with_layer(cache, li, ck, cv, cks, cvs)
 
         # past attention reads the slot's logical rows back through the
         # table (gather fallback; prefill is compute-bound)
         row = cache.table[slot]  # [MP]
-        row_k = _dequantize_kv(
-            cache.k[li][row].reshape(t_max, spec.kv_heads, spec.head_dim),
-            cache.k_scale[li][row].reshape(t_max, spec.kv_heads),
-            dtype,
-        )
-        row_v = _dequantize_kv(
-            cache.v[li][row].reshape(t_max, spec.kv_heads, spec.head_dim),
-            cache.v_scale[li][row].reshape(t_max, spec.kv_heads),
-            dtype,
-        )
+        if cache.flat:
+            row_k = _dequantize_kv(
+                _std_kv_view(spec, cache.k[li][row].reshape(
+                    t_max, spec.kv_heads * spec.head_dim)),
+                _std_scale_view(cache.k_scale[li][row]).reshape(
+                    t_max, spec.kv_heads),
+                dtype,
+            )
+            row_v = _dequantize_kv(
+                _std_kv_view(spec, cache.v[li][row].reshape(
+                    t_max, spec.kv_heads * spec.head_dim)),
+                _std_scale_view(cache.v_scale[li][row]).reshape(
+                    t_max, spec.kv_heads),
+                dtype,
+            )
+        else:
+            row_k = _dequantize_kv(
+                cache.k[li][row].reshape(t_max, spec.kv_heads, spec.head_dim),
+                cache.k_scale[li][row].reshape(t_max, spec.kv_heads),
+                dtype,
+            )
+            row_v = _dequantize_kv(
+                cache.v[li][row].reshape(t_max, spec.kv_heads, spec.head_dim),
+                cache.v_scale[li][row].reshape(t_max, spec.kv_heads),
+                dtype,
+            )
         row_k = jnp.repeat(row_k, rep, axis=1)[None]
         row_v = jnp.repeat(row_v, rep, axis=1)[None]
         s_past = jnp.einsum(
@@ -340,13 +423,22 @@ def paged_decode_step(
 
         kq, kscale = _quantize_kv(k[:, 0])  # [S, H, D], [S, H]
         vq, vscale = _quantize_kv(v[:, 0])
-        cache = _with_layer(
-            cache, li,
-            cache.k[li].at[page_ids, offs].set(kq),
-            cache.v[li].at[page_ids, offs].set(vq),
-            cache.k_scale[li].at[page_ids, offs].set(kscale),
-            cache.v_scale[li].at[page_ids, offs].set(vscale),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[page_ids, offs].set(_flat_rows(kq)),
+                cache.v[li].at[page_ids, offs].set(_flat_rows(vq)),
+                cache.k_scale[li].at[page_ids, :, offs].set(kscale),
+                cache.v_scale[li].at[page_ids, :, offs].set(vscale),
+            )
+        else:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[page_ids, offs].set(kq),
+                cache.v[li].at[page_ids, offs].set(vq),
+                cache.k_scale[li].at[page_ids, offs].set(kscale),
+                cache.v_scale[li].at[page_ids, offs].set(vscale),
+            )
 
         if use_fused:
             from ..ops.decode_attention import paged_decode_attention
@@ -363,16 +455,7 @@ def paged_decode_step(
                 cache.table, positions, rep=rep,
             ).reshape(s, 1, spec.q_heads * spec.head_dim).astype(dtype)
         else:
-            k_all = _dequantize_kv(
-                _gather_slot_rows(cache.k[li], cache.table),
-                _gather_slot_rows(cache.k_scale[li], cache.table),
-                dtype,
-            )  # [S, T, H, D]
-            v_all = _dequantize_kv(
-                _gather_slot_rows(cache.v[li], cache.table),
-                _gather_slot_rows(cache.v_scale[li], cache.table),
-                dtype,
-            )
+            k_all, v_all = _gather_std(spec, cache, li, dtype)  # [S, T, H, D]
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
             logits = jnp.einsum(
@@ -436,13 +519,22 @@ def paged_verify_step(
 
         kq, kscale = _quantize_kv(k)   # [S, W, H, D], [S, W, H]
         vq, vscale = _quantize_kv(v)
-        cache = _with_layer(
-            cache, li,
-            cache.k[li].at[page_ids, offs].set(kq),
-            cache.v[li].at[page_ids, offs].set(vq),
-            cache.k_scale[li].at[page_ids, offs].set(kscale),
-            cache.v_scale[li].at[page_ids, offs].set(vscale),
-        )
+        if cache.flat:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[page_ids, offs].set(_flat_rows(kq)),
+                cache.v[li].at[page_ids, offs].set(_flat_rows(vq)),
+                cache.k_scale[li].at[page_ids, :, offs].set(kscale),
+                cache.v_scale[li].at[page_ids, :, offs].set(vscale),
+            )
+        else:
+            cache = _with_layer(
+                cache, li,
+                cache.k[li].at[page_ids, offs].set(kq),
+                cache.v[li].at[page_ids, offs].set(vq),
+                cache.k_scale[li].at[page_ids, offs].set(kscale),
+                cache.v_scale[li].at[page_ids, offs].set(vscale),
+            )
 
         if use_fused:
             from ..ops.decode_attention import paged_window_decode_attention
@@ -452,16 +544,7 @@ def paged_verify_step(
                 cache.v_scale[li], cache.table, start, rep=rep,
             ).reshape(s, w, spec.q_heads * spec.head_dim).astype(dtype)
         else:
-            k_all = _dequantize_kv(
-                _gather_slot_rows(cache.k[li], cache.table),
-                _gather_slot_rows(cache.k_scale[li], cache.table),
-                dtype,
-            )
-            v_all = _dequantize_kv(
-                _gather_slot_rows(cache.v[li], cache.table),
-                _gather_slot_rows(cache.v_scale[li], cache.table),
-                dtype,
-            )
+            k_all, v_all = _gather_std(spec, cache, li, dtype)
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
             logits = jnp.einsum(

@@ -238,7 +238,15 @@ def decode_attention(
     [L, S, T, Hkv, D] and the BlockSpec indexes the layer — feeding a
     python-level ``cache.k[li]`` slice instead materializes a ~34 MB
     contiguous temp per k/v/scale per layer (measured ~0.5 ms/layer on
-    one v5e, 3x the kernel's own runtime at short contexts)."""
+    one v5e, 3x the kernel's own runtime at short contexts).
+
+    A 3-D ``k_cache`` selects the FLAT layout ([S, T, Hkv*D] int8 +
+    [S, Hkv, T] f32 scales — see the flat-layout section comment)."""
+    if k_cache.ndim == 3 and layer < 0:
+        return _flat_decode_attention(
+            q, k_cache, v_cache, k_scale, v_scale, lengths,
+            rep=rep, chunk=chunk, out_dtype=out_dtype,
+        )
     if layer >= 0:
         assert k_cache.ndim == 5, k_cache.shape
     s, hq, d = q.shape
@@ -360,6 +368,454 @@ def decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# FLAT cache layout: K/V stored [.., T, Hkv*D] int8, scales [.., Hkv, T]
+# f32 — every minor dim is lane-aligned (Hkv*D and T are multiples of
+# 128), so XLA's compact parameter layout IS the standard layout and
+# standalone decode-block programs stop paying the whole-cache
+# entry/exit layout conversion (the round-5 dispatch bubble: s8[..,H,64]
+# pads D=64 to 128 lanes in the standard layout, so XLA stores the
+# params compact and converts ~4.6 GB per block at dense-128;
+# scripts/layout_pin_probe.py). Unlike ``pin_cache_layouts`` this needs
+# no cooperation from the backend's layout plumbing.
+#
+# Same online-softmax recurrence as the standard-layout kernels; scales
+# are applied to the LOGITS (k_f32 = k_int8 * ks is uniform per
+# (position, head), so q . k_f32 == (q . k_int8) * ks and likewise
+# (p * vs) . v_int8 == p . v_f32) — this skips the dequant broadcast
+# over D and keeps the scale blocks transpose-free.
+# ---------------------------------------------------------------------------
+
+
+def _flat_kernel(
+    len_ref,      # scalar-prefetch: int32 [S]
+    q_ref,        # [G, Hq, D]
+    k_ref,        # int8 [G, C, Hkv*D]
+    v_ref,        # int8 [G, C, Hkv*D]
+    ks_ref,       # f32 [G, Hkv, C]
+    vs_ref,       # f32 [G, Hkv, C]
+    o_ref,        # [G, Hq, D]
+    m_scr,        # f32 [G*Hkv, rep]
+    l_scr,        # f32 [G*Hkv, rep]
+    acc_scr,      # f32 [G*Hkv, rep, D]
+    *,
+    chunk: int,
+    n_chunks: int,
+    rep: int,
+    group: int,
+):
+    """Slot-grouped decode attention over the FLAT cache layout
+    (``group`` may be 1 — this body replaces both grid shapes)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    lens = [len_ref[i * group + g] for g in range(group)]
+    max_len = functools.reduce(jnp.maximum, lens)
+
+    @pl.when(c * chunk <= max_len)
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hkv = hq // rep
+        q = q_ref[:].reshape(group * hkv, rep, d).astype(jnp.float32)
+        kf = k_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
+        vf = v_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
+        kt = jnp.transpose(kf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
+        vt = jnp.transpose(vf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
+        ks = ks_ref[:].reshape(group * hkv, 1, chunk)
+        vs = vs_ref[:].reshape(group * hkv, 1, chunk)
+
+        logits = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (ks * (1.0 / math.sqrt(d)))                       # [G*Hkv,rep,C]
+
+        pos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, 1, chunk), 2
+        )
+        row_g = jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, 1, chunk), 0
+        ) // hkv
+        lens_row = jnp.full((group * hkv, 1, chunk), lens[0], jnp.int32)
+        for g in range(1, group):
+            lens_row = jnp.where(row_g == g, lens[g], lens_row)
+        logits = jnp.where(pos <= lens_row, logits, -1e30)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])                # [G*Hkv,rep,C]
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+        m_scr[:] = m_new
+
+        pv = jax.lax.dot_general(
+            p * vs, vt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [G*Hkv,rep,D]
+        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[:] = out.reshape(group, hq, d).astype(o_ref.dtype)
+
+
+def _flat_window_kernel(
+    len_ref,      # scalar-prefetch: int32 [S]
+    q_ref,        # [G, Hkv, R, D]   (R = W*rep)
+    k_ref,        # int8 [G, C, Hkv*D]
+    v_ref,        # int8 [G, C, Hkv*D]
+    ks_ref,       # f32 [G, Hkv, C]
+    vs_ref,       # f32 [G, Hkv, C]
+    o_ref,        # [G, Hkv, R, D]
+    m_scr,        # f32 [G*Hkv, R]
+    l_scr,        # f32 [G*Hkv, R]
+    acc_scr,      # f32 [G*Hkv, R, D]
+    *,
+    chunk: int,
+    n_chunks: int,
+    rep: int,
+    group: int,
+):
+    """Slot-grouped window (verify) attention over the FLAT layout."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    lens = [len_ref[i * group + g] for g in range(group)]
+    max_len = functools.reduce(jnp.maximum, lens)
+    hkv, r, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    w = r // rep
+
+    @pl.when(c * chunk <= max_len + w - 1)
+    def _():
+        q = q_ref[:].reshape(group * hkv, r, d).astype(jnp.float32)
+        kf = k_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
+        vf = v_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
+        kt = jnp.transpose(kf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
+        vt = jnp.transpose(vf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
+        ks = ks_ref[:].reshape(group * hkv, 1, chunk)
+        vs = vs_ref[:].reshape(group * hkv, 1, chunk)
+
+        logits = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (ks * (1.0 / math.sqrt(d)))                       # [G*Hkv, R, C]
+
+        pos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, r, chunk), 2
+        )
+        w_of_row = jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, r, chunk), 1
+        ) // rep
+        row_g = jax.lax.broadcasted_iota(
+            jnp.int32, (group * hkv, r, chunk), 0
+        ) // hkv
+        lens_row = jnp.full((group * hkv, r, chunk), lens[0], jnp.int32)
+        for g in range(1, group):
+            lens_row = jnp.where(row_g == g, lens[g], lens_row)
+        logits = jnp.where(pos <= lens_row + w_of_row, logits, -1e30)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
+        m_scr[:] = m_new
+        pv = jax.lax.dot_general(
+            p * vs, vt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
+        o_ref[:] = out.reshape(group, hkv, r, d).astype(o_ref.dtype)
+
+
+def _flat_decode_attention(
+    q, k_cache, v_cache, k_scale, v_scale, lengths, rep, chunk, out_dtype
+):
+    """FLAT-layout dense decode attention: cache [S, T, Hkv*D] int8 +
+    scales [S, Hkv, T] f32 (see the section comment above)."""
+    s, hq, d = q.shape
+    t = k_cache.shape[1]
+    hkv = hq // rep
+    assert k_cache.shape[-1] == hkv * d, (q.shape, k_cache.shape, rep)
+    assert k_scale.shape == (s, hkv, t), (k_scale.shape, (s, hkv, t))
+    out_dtype = out_dtype or q.dtype
+    chunk = min(chunk, t)
+    assert t % chunk == 0, (t, chunk)
+    n_chunks = t // chunk
+    group = _pick_group(s)
+
+    def g_idx(i, c, lens):
+        m = lens[i * group]
+        for g in range(1, group):
+            m = jnp.maximum(m, lens[i * group + g])
+        return jnp.minimum(c, m // chunk)
+
+    kv_spec = pl.BlockSpec(
+        (group, chunk, hkv * d),
+        lambda i, c, lens: (i, g_idx(i, c, lens), 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (group, hkv, chunk),
+        lambda i, c, lens: (i, 0, g_idx(i, c, lens)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s // group, n_chunks),
+        in_specs=[
+            pl.BlockSpec((group, hq, d), lambda i, c, *_: (i, 0, 0)),
+            kv_spec, kv_spec, sc_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec((group, hq, d), lambda i, c, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group * hkv, rep), jnp.float32),
+            pltpu.VMEM((group * hkv, rep), jnp.float32),
+            pltpu.VMEM((group * hkv, rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _flat_kernel, chunk=chunk, n_chunks=n_chunks, rep=rep,
+            group=group,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hq, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * t * d,
+            bytes_accessed=2 * s * t * hkv * d + s * hq * d * 4,
+            transcendentals=s * hq * t,
+        ),
+        interpret=_INTERPRET,
+    )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
+
+
+def _flat_window_decode_attention(
+    q, k_cache, v_cache, k_scale, v_scale, lengths, rep, chunk, out_dtype
+):
+    """FLAT-layout window (verify) attention (q [S, W, Hq, D])."""
+    s, w, hq, d = q.shape
+    t = k_cache.shape[1]
+    hkv = hq // rep
+    assert k_cache.shape[-1] == hkv * d, (q.shape, k_cache.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    # grouped f32 dequant temps: cap the chunk like the standard grouped
+    # window kernel to stay inside VMEM
+    chunk = min(chunk, t, 128)
+    assert t % chunk == 0, (t, chunk)
+    n_chunks = t // chunk
+    r = w * rep
+    group = _pick_group(s)
+
+    qv = (
+        q.reshape(s, w, hkv, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, hkv, r, d)
+    )
+
+    def g_idx(i, c, lens):
+        m = lens[i * group]
+        for g in range(1, group):
+            m = jnp.maximum(m, lens[i * group + g])
+        return jnp.minimum(c, (m + w - 1) // chunk)
+
+    kv_spec = pl.BlockSpec(
+        (group, chunk, hkv * d),
+        lambda i, c, lens: (i, g_idx(i, c, lens), 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (group, hkv, chunk),
+        lambda i, c, lens: (i, 0, g_idx(i, c, lens)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s // group, n_chunks),
+        in_specs=[
+            pl.BlockSpec((group, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+            kv_spec, kv_spec, sc_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec((group, hkv, r, d),
+                               lambda i, c, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group * hkv, r), jnp.float32),
+            pltpu.VMEM((group * hkv, r), jnp.float32),
+            pltpu.VMEM((group * hkv, r, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flat_window_kernel, chunk=chunk, n_chunks=n_chunks, rep=rep,
+            group=group,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hkv, r, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * w * t * d,
+            bytes_accessed=2 * s * t * hkv * d + s * w * hq * d * 4,
+            transcendentals=s * hq * w * t,
+        ),
+        interpret=_INTERPRET,
+    )(lengths.astype(jnp.int32), qv, k_cache, v_cache, k_scale, v_scale)
+    return (
+        out.reshape(s, hkv, w, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, w, hq, d)
+    )
+
+
+def _flat_paged_kernel(len_ref, tbl_ref, *rest, chunk, n_chunks, rep):
+    del tbl_ref
+    _flat_kernel(len_ref, *rest, chunk=chunk, n_chunks=n_chunks, rep=rep,
+                 group=1)
+
+
+def _flat_paged_window_kernel(len_ref, tbl_ref, *rest, chunk, n_chunks, rep):
+    del tbl_ref
+    _flat_window_kernel(len_ref, *rest, chunk=chunk, n_chunks=n_chunks,
+                        rep=rep, group=1)
+
+
+def _flat_paged_decode_attention(
+    q, k_pool, v_pool, k_scale, v_scale, table, lengths, rep, out_dtype
+):
+    """FLAT-layout paged decode attention: pools [N, page, Hkv*D] int8 +
+    scales [N, Hkv, page] f32, table-indirect per-slot fetches."""
+    s, hq, d = q.shape
+    page = k_pool.shape[1]
+    hkv = hq // rep
+    assert k_pool.shape[-1] == hkv * d, (q.shape, k_pool.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    n_chunks = table.shape[1]
+
+    def kv_idx(i, c, lens, tbl):
+        return tbl[i, jnp.minimum(c, lens[i] // page)]
+
+    kv_spec = pl.BlockSpec(
+        (1, page, hkv * d),
+        lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (1, hkv, page),
+        lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+            kv_spec, kv_spec, sc_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep), jnp.float32),
+            pltpu.VMEM((hkv, rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _flat_paged_kernel, chunk=page, n_chunks=n_chunks, rep=rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hq, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * n_chunks * page * d,
+            bytes_accessed=2 * s * n_chunks * page * hkv * d + s * hq * d * 4,
+            transcendentals=s * hq * n_chunks * page,
+        ),
+        interpret=_INTERPRET,
+    )(
+        lengths.astype(jnp.int32), table.astype(jnp.int32),
+        q, k_pool, v_pool, k_scale, v_scale,
+    )
+
+
+def _flat_paged_window_decode_attention(
+    q, k_pool, v_pool, k_scale, v_scale, table, lengths, rep, out_dtype
+):
+    """FLAT-layout paged window (verify) attention."""
+    s, w, hq, d = q.shape
+    page = k_pool.shape[1]
+    hkv = hq // rep
+    assert k_pool.shape[-1] == hkv * d, (q.shape, k_pool.shape, rep)
+    out_dtype = out_dtype or q.dtype
+    n_chunks = table.shape[1]
+    r = w * rep
+
+    qv = (
+        q.reshape(s, w, hkv, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, hkv, r, d)
+    )
+
+    def kv_idx(i, c, lens, tbl):
+        return tbl[i, jnp.minimum(c, (lens[i] + w - 1) // page)]
+
+    kv_spec = pl.BlockSpec(
+        (1, page, hkv * d),
+        lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (1, hkv, page),
+        lambda i, c, lens, tbl: (kv_idx(i, c, lens, tbl), 0, 0),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+            kv_spec, kv_spec, sc_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r), jnp.float32),
+            pltpu.VMEM((hkv, r, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flat_paged_window_kernel, chunk=page, n_chunks=n_chunks, rep=rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hkv, r, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * hq * w * n_chunks * page * d,
+            bytes_accessed=2 * s * n_chunks * page * hkv * d
+            + s * w * hq * d * 4,
+            transcendentals=s * hq * w * n_chunks * page,
+        ),
+        interpret=_INTERPRET,
+    )(
+        lengths.astype(jnp.int32), table.astype(jnp.int32),
+        qv, k_pool, v_pool, k_scale, v_scale,
+    )
+    return (
+        out.reshape(s, hkv, w, rep, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(s, w, hq, d)
+    )
+
+
+# ---------------------------------------------------------------------------
 # paged decode: the KV pool is [N_pages, page, Hkv, D] and a
 # scalar-prefetched page table [S, max_pages] redirects each grid step's
 # fetch — the same online-softmax body as the dense kernel, with the
@@ -396,7 +852,15 @@ def paged_decode_attention(
 ):
     """``layer >= 0``: the whole layered pool is passed and a squeezed
     (None) leading block dim pins the layer — avoids materializing a
-    per-layer contiguous slice temp (the dense decode_attention fix)."""
+    per-layer contiguous slice temp (the dense decode_attention fix).
+
+    A 3-D ``k_pool`` selects the FLAT layout ([N, page, Hkv*D] int8 +
+    [N, Hkv, page] f32 scales — see the flat-layout section comment)."""
+    if k_pool.ndim == 3 and layer < 0:
+        return _flat_paged_decode_attention(
+            q, k_pool, v_pool, k_scale, v_scale, table, lengths,
+            rep=rep, out_dtype=out_dtype,
+        )
     if layer >= 0:
         assert k_pool.ndim == 5, k_pool.shape
     s, hq, d = q.shape
@@ -475,7 +939,15 @@ def paged_window_decode_attention(
     out_dtype=None,
 ):
     """Paged fused verify attention (speculative decoding over the paged
-    cache): the window kernel body with table-indirect fetches."""
+    cache): the window kernel body with table-indirect fetches.
+
+    A 3-D ``k_pool`` selects the FLAT layout (see the flat-layout
+    section comment)."""
+    if k_pool.ndim == 3:
+        return _flat_paged_window_decode_attention(
+            q, k_pool, v_pool, k_scale, v_scale, table, lengths,
+            rep=rep, out_dtype=out_dtype,
+        )
     s, w, hq, d = q.shape
     page = k_pool.shape[1]
     hkv = k_pool.shape[2]
@@ -726,7 +1198,15 @@ def window_decode_attention(
     (models/decoder.verify_step): W query rows per slot, row w masked to
     cache positions <= lengths[s]+w. Like :func:`decode_attention`, the
     int8 cache is read once per chunk at int8 width and GQA repeats
-    never materialize (q enters KV-head-major, [Hkv, W*rep, D])."""
+    never materialize (q enters KV-head-major, [Hkv, W*rep, D]).
+
+    A 3-D ``k_cache`` selects the FLAT layout (see the flat-layout
+    section comment)."""
+    if k_cache.ndim == 3:
+        return _flat_window_decode_attention(
+            q, k_cache, v_cache, k_scale, v_scale, lengths,
+            rep=rep, chunk=chunk, out_dtype=out_dtype,
+        )
     s, w, hq, d = q.shape
     t = k_cache.shape[1]
     hkv = k_cache.shape[2]

@@ -268,6 +268,7 @@ class GenerationEngine:
         prompt_lookup_ngram: int = 0,
         pipe_microgroups: int = 0,
         pin_cache_layouts: bool = False,
+        kv_cache_layout: str = "standard",
         prefix_cache: bool = False,
         prefix_cache_min: int = 16,
         decode_overlap: bool = False,
@@ -307,6 +308,29 @@ class GenerationEngine:
         self._pin_layouts = bool(pin_cache_layouts)
         self._cache_fmt = None
         self._draft_fmt = None
+        # FLAT cache layout ([S, T, Hkv*D] K/V + [S, Hkv, T] scales):
+        # every minor dim is lane-aligned, so XLA's compact parameter
+        # layout IS the standard layout and decode blocks stop paying
+        # the whole-cache entry/exit conversion — the structural version
+        # of pin_cache_layouts with no backend layout plumbing involved
+        # (models/decoder.init_cache, ops/decode_attention.py).
+        if kv_cache_layout not in ("standard", "flat"):
+            raise ValueError(
+                f"kv_cache_layout must be 'standard' or 'flat', got "
+                f"{kv_cache_layout!r}"
+            )
+        self._flat_cache = kv_cache_layout == "flat"
+        if self._flat_cache and mesh is not None:
+            raise ValueError(
+                "kv_cache_layout='flat' is single-device only (mesh "
+                "decode paths keep the standard layout)"
+            )
+        if self._flat_cache and self._pin_layouts:
+            raise ValueError(
+                "pin_cache_layouts is redundant with kv_cache_layout="
+                "'flat' (the flat layout's standard layout already is "
+                "the compact layout) — enable one or the other"
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -432,6 +456,7 @@ class GenerationEngine:
                 spec, num_slots, max_len,
                 num_pages=self.kv_pool_pages,
                 page_size=self.kv_page_size,
+                flat=self._flat_cache,
             )
             # opt-in pool-layout pinning, like the dense cache (see
             # _std_format_tree): the paged pools have the same
@@ -471,7 +496,8 @@ class GenerationEngine:
             # over 'pipe'); everything else uses per-layer leaves
             self.cache: KVCache = self._place_cache(
                 init_cache(spec, num_slots, max_len,
-                           stacked=bool(self._pipe_stages))
+                           stacked=bool(self._pipe_stages),
+                           flat=self._flat_cache)
             )
 
         # prefix caching: released slots keep their KV rows resident, so
@@ -518,7 +544,8 @@ class GenerationEngine:
                     f"vocab ({spec.vocab})"
                 )
             self._draft_params = self._place_draft_params(draft_params)
-            draft_cache0 = init_cache(draft_spec, num_slots, max_len)
+            draft_cache0 = init_cache(draft_spec, num_slots, max_len,
+                                      flat=self._flat_cache)
             self._draft_fmt = (
                 self._std_format_tree(draft_cache0)
                 if self.mesh is None and self._pin_layouts else None

@@ -190,3 +190,48 @@ def test_pinned_cache_layouts_parity():
         finally:
             eng.stop()
     assert outs[0] == outs[1]
+
+
+def test_flat_cache_layout_matches_standard():
+    """kv_cache_layout='flat' produces the same greedy tokens as the
+    standard layout through the full engine (dense and paged), including
+    multi-step blocks and chunked prefill."""
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 256, "q_heads": 4,
+                                   "kv_heads": 2, "intermediate": 256,
+                                   "vocab": 128})
+    params = init_params(spec, np.random.default_rng(3))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, 128, (rng.integers(3, 12),)).astype(np.int32)
+               for _ in range(5)]
+
+    def run(layout, **kw):
+        eng = GenerationEngine(
+            spec, params, dtype=jnp.float32, num_slots=4, max_len=64,
+            prefill_buckets=[8, 16], steps_per_sync=3,
+            kv_cache_layout=layout, **kw,
+        )
+        eng.start()
+        try:
+            reqs = [GenerationRequest(prompt_ids=p, max_new_tokens=6)
+                    for p in prompts]
+            for r in reqs:
+                eng.submit(r)
+            return [r.result(timeout=120) for r in reqs]
+        finally:
+            eng.stop()
+
+    assert run("flat") == run("standard")
+    assert (run("flat", kv_page_size=32, kv_pool_pages=9)
+            == run("standard", kv_page_size=32, kv_pool_pages=9))
+
+
+def test_flat_cache_layout_rejects_pinning():
+    spec = get_spec("llama-tiny", {"layers": 2, "hidden": 128, "q_heads": 4,
+                                   "kv_heads": 2, "intermediate": 256,
+                                   "vocab": 128})
+    params = init_params(spec, np.random.default_rng(0))
+    with pytest.raises(ValueError, match="redundant"):
+        GenerationEngine(
+            spec, params, dtype=jnp.float32, num_slots=2, max_len=64,
+            kv_cache_layout="flat", pin_cache_layouts=True,
+        )
