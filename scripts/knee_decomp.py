@@ -58,6 +58,10 @@ def main() -> int:
     p.add_argument("--requests", type=int, default=128)
     p.add_argument("--concurrency", type=int, default=64)
     p.add_argument("--skip-serving", action="store_true")
+    p.add_argument("--layout", nargs="+", default=["standard"],
+                   choices=["standard", "flat"],
+                   help="KV-cache layout arm(s) to interleave "
+                        "(flat = lane-aligned [S,T,Hkv*D] leaves)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args()
@@ -106,13 +110,15 @@ def main() -> int:
     pages_per_slot = -(-(P + args.new_tokens) // page) if page else 0
 
     tiers = {}
-    for steps in args.steps:
+    combos = [(s, lay) for s in args.steps for lay in args.layout]
+    for steps, layout in combos:
         n_blocks = args.new_tokens // steps
         eng = GenerationEngine(
             spec, params, dtype=jnp.bfloat16, num_slots=S, max_len=T,
             prefill_buckets=[P], steps_per_sync=steps, decode_overlap=True,
             pipeline_depth=args.pipeline_depth, fetch_timeout_s=600,
             kv_page_size=page, kv_pool_pages=pool,
+            kv_cache_layout=layout,
         )
         active = jnp.ones((S,), bool)
         temps = jnp.zeros((S,), jnp.float32)
@@ -121,10 +127,10 @@ def main() -> int:
         eos = jnp.full((S,), -1, jnp.int32)
         limit = jnp.full((S,), 1 << 30, jnp.int32)
 
-        def fresh_cache():
+        def fresh_cache(_flat=(layout == "flat")):
             if pool:
                 c = init_paged_cache(spec, S, T, num_pages=pool,
-                                     page_size=page)
+                                     page_size=page, flat=_flat)
                 table = np.zeros((S, T // page), np.int32)
                 for i in range(S):
                     table[i, :pages_per_slot] = 1 + np.arange(
@@ -132,7 +138,7 @@ def main() -> int:
                     )
                 c = c._replace(table=jnp.asarray(table))
             else:
-                c = init_cache(spec, S, T)
+                c = init_cache(spec, S, T, flat=_flat)
             return jax.device_put(c)._replace(
                 lengths=jnp.full((S,), P, jnp.int32)
             )
@@ -204,25 +210,28 @@ def main() -> int:
                   file=sys.stderr)
             return len(reqs) * args.new_tokens / wall
 
-        tiers[steps] = {"engine": eng, "raw": run_raw,
-                        "dispatch": run_dispatch, "run_engine": run_engine}
+        tiers[(steps, layout)] = {
+            "engine": eng, "raw": run_raw,
+            "dispatch": run_dispatch, "run_engine": run_engine}
 
         if not args.skip_serving:
             options = {
                 "num_slots": S, "steps_per_sync": steps,
                 "decode_pipeline_depth": args.pipeline_depth,
+                "kv_cache_layout": layout,
             }
             if pool:
                 options["kv_page_size"] = page
                 options["kv_pool_pages"] = pool
             cfg = parse_config(serving_series._cfg_dict(
                 "llama", options, tiny=args.tiny))
-            print(f"# starting serving harness (steps={steps}) ...",
-                  file=sys.stderr)
-            tiers[steps]["harness"] = serving_series._Harness(cfg).start()
+            print(f"# starting serving harness (steps={steps}, "
+                  f"{layout}) ...", file=sys.stderr)
+            tiers[(steps, layout)]["harness"] = (
+                serving_series._Harness(cfg).start())
 
     print("# compiling ...", file=sys.stderr)
-    for steps, t in tiers.items():
+    for (steps, layout), t in tiers.items():
         t0 = time.perf_counter()
         t["raw"]()
         t["dispatch"]()
@@ -230,16 +239,16 @@ def main() -> int:
         t["engine"].generate(prompt, max_new_tokens=steps * 2, timeout=1200)
         if "harness" in t:
             s = serving_series._drive(t["harness"].target, args)
-            print(f"#   steps={steps} serving warm: "
+            print(f"#   steps={steps} {layout} serving warm: "
                   f"{s['generation']['tokens_per_s']:.0f} tok/s",
                   file=sys.stderr)
-        print(f"#   steps={steps}: primed in "
+        print(f"#   steps={steps} {layout}: primed in "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
-    series = {steps: {"raw": [], "dispatch": [], "engine": [],
-                      "serving": []} for steps in args.steps}
+    series = {key: {"raw": [], "dispatch": [], "engine": [],
+                    "serving": []} for key in tiers}
     for rnd in range(args.rounds):
-        for steps, t in tiers.items():
+        for (steps, layout), t in tiers.items():
             r1 = t["raw"]()
             r2 = t["dispatch"]()
             r3 = t["run_engine"]()
@@ -248,18 +257,20 @@ def main() -> int:
                 s = serving_series._drive(t["harness"].target, args)
                 assert s["requests"]["errors"] == 0, s["requests"]
                 r4 = s["generation"]["tokens_per_s"]
-            series[steps]["raw"].append(r1)
-            series[steps]["dispatch"].append(r2)
-            series[steps]["engine"].append(r3)
-            series[steps]["serving"].append(r4)
-            print(f"round {rnd} steps={steps}: raw {r1:.0f} | "
+            key = (steps, layout)
+            series[key]["raw"].append(r1)
+            series[key]["dispatch"].append(r2)
+            series[key]["engine"].append(r3)
+            series[key]["serving"].append(r4)
+            print(f"round {rnd} steps={steps} {layout}: raw {r1:.0f} | "
                   f"dispatch {r2:.0f} ({r2 / r1:.3f}) | "
                   f"engine {r3:.0f} ({r3 / r1:.3f}) | "
                   f"serving {r4:.0f} ({r4 / r1:.3f})", flush=True)
 
-    for steps in args.steps:
-        row = {"config": args.config, "steps_per_sync": steps}
-        for tier, vals in series[steps].items():
+    for steps, layout in combos:
+        row = {"config": args.config, "steps_per_sync": steps,
+               "layout": layout}
+        for tier, vals in series[(steps, layout)].items():
             if not any(vals):
                 continue
             row[tier] = round(statistics.mean(vals), 0)

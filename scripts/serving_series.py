@@ -136,7 +136,9 @@ def main() -> int:
                         "copyplain-<slots> (copy-model weights, plain "
                         "decode) or lookup-<slots> (copy-model weights "
                         "+ prompt-lookup speculation) — the serving-"
-                        "level lookup A/B (VERDICT r4 item 5)")
+                        "level lookup A/B (VERDICT r4 item 5). Any "
+                        "label takes a '+flat' suffix for the "
+                        "lane-aligned FLAT cache layout arm")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="llama-tiny shapes (CPU smoke)")
@@ -151,9 +153,13 @@ def main() -> int:
 
     harnesses = []
     for label in args.configs:
-        kind, slots = label.rsplit("-", 1)
+        base, flat = (label[:-len("+flat")], True) if label.endswith(
+            "+flat") else (label, False)
+        kind, slots = base.rsplit("-", 1)
         slots = int(slots)
         options = {"num_slots": slots}
+        if flat:
+            options["kv_cache_layout"] = "flat"
         if kind.startswith("paged"):
             page = int(kind[len("paged"):] or (16 if args.tiny else 256))
             max_len = 128 if args.tiny else 1024

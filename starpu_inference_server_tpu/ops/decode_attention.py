@@ -404,7 +404,13 @@ def _flat_kernel(
     group: int,
 ):
     """Slot-grouped decode attention over the FLAT cache layout
-    (``group`` may be 1 — this body replaces both grid shapes)."""
+    (``group`` may be 1 — this body replaces both grid shapes).
+
+    The flat block keeps the packed [C, Hkv*D] lane layout END TO END:
+    per-KV-head STATIC lane slices feed the dots (Mosaic does not lower
+    a lane-split reshape like [C, 512] -> [C, 8, 64]), so the big block
+    is never reshaped or transposed — only sliced. Scratch carries a
+    leading ``hkv`` dim indexed statically per head."""
     i = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -421,50 +427,54 @@ def _flat_kernel(
     def _():
         hq, d = q_ref.shape[1], q_ref.shape[2]
         hkv = hq // rep
-        q = q_ref[:].reshape(group * hkv, rep, d).astype(jnp.float32)
-        kf = k_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
-        vf = v_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
-        kt = jnp.transpose(kf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
-        vt = jnp.transpose(vf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
-        ks = ks_ref[:].reshape(group * hkv, 1, chunk)
-        vs = vs_ref[:].reshape(group * hkv, 1, chunk)
-
-        logits = jax.lax.dot_general(
-            q, kt,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (ks * (1.0 / math.sqrt(d)))                       # [G*Hkv,rep,C]
+        inv = 1.0 / math.sqrt(d)
 
         pos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (group * hkv, 1, chunk), 2
+            jnp.int32, (group, 1, chunk), 2
         )
         row_g = jax.lax.broadcasted_iota(
-            jnp.int32, (group * hkv, 1, chunk), 0
-        ) // hkv
-        lens_row = jnp.full((group * hkv, 1, chunk), lens[0], jnp.int32)
+            jnp.int32, (group, 1, chunk), 0
+        )
+        lens_row = jnp.full((group, 1, chunk), lens[0], jnp.int32)
         for g in range(1, group):
             lens_row = jnp.where(row_g == g, lens[g], lens_row)
-        logits = jnp.where(pos <= lens_row, logits, -1e30)
+        dead = pos > lens_row                                 # [G, 1, C]
 
-        m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new[..., None])                # [G*Hkv,rep,C]
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
-        m_scr[:] = m_new
+        for h in range(hkv):
+            q_h = q_ref[:, h * rep:(h + 1) * rep, :].astype(jnp.float32)
+            k_h = k_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+            v_h = v_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+            ks_h = ks_ref[:, h, :][:, None, :]                # [G, 1, C]
+            vs_h = vs_ref[:, h, :][:, None, :]
 
-        pv = jax.lax.dot_general(
-            p * vs, vt,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                     # [G*Hkv,rep,D]
-        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+            logits = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (ks_h * inv)                                  # [G, rep, C]
+            logits = jnp.where(dead, -1e30, logits)
+
+            m_prev = m_scr[h]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new[..., None])            # [G, rep, C]
+            l_scr[h] = alpha * l_scr[h] + jnp.sum(p, axis=-1)
+            m_scr[h] = m_new
+
+            pv = jax.lax.dot_general(
+                p * vs_h, v_h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                 # [G, rep, D]
+            acc_scr[h] = acc_scr[h] * alpha[..., None] + pv
 
     @pl.when(c == n_chunks - 1)
     def _():
         hq, d = q_ref.shape[1], q_ref.shape[2]
-        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
-        o_ref[:] = out.reshape(group, hq, d).astype(o_ref.dtype)
+        hkv = hq // rep
+        for h in range(hkv):
+            out = acc_scr[h] / jnp.maximum(l_scr[h], 1e-30)[..., None]
+            o_ref[:, h * rep:(h + 1) * rep, :] = out.astype(o_ref.dtype)
 
 
 def _flat_window_kernel(
@@ -484,7 +494,8 @@ def _flat_window_kernel(
     rep: int,
     group: int,
 ):
-    """Slot-grouped window (verify) attention over the FLAT layout."""
+    """Slot-grouped window (verify) attention over the FLAT layout
+    (per-KV-head static lane slices, like :func:`_flat_kernel`)."""
     i = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -501,51 +512,53 @@ def _flat_window_kernel(
 
     @pl.when(c * chunk <= max_len + w - 1)
     def _():
-        q = q_ref[:].reshape(group * hkv, r, d).astype(jnp.float32)
-        kf = k_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
-        vf = v_ref[:].astype(jnp.float32).reshape(group, chunk, hkv, d)
-        kt = jnp.transpose(kf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
-        vt = jnp.transpose(vf, (0, 2, 1, 3)).reshape(group * hkv, chunk, d)
-        ks = ks_ref[:].reshape(group * hkv, 1, chunk)
-        vs = vs_ref[:].reshape(group * hkv, 1, chunk)
-
-        logits = jax.lax.dot_general(
-            q, kt,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (ks * (1.0 / math.sqrt(d)))                       # [G*Hkv, R, C]
-
+        inv = 1.0 / math.sqrt(d)
         pos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (group * hkv, r, chunk), 2
+            jnp.int32, (group, r, chunk), 2
         )
         w_of_row = jax.lax.broadcasted_iota(
-            jnp.int32, (group * hkv, r, chunk), 1
+            jnp.int32, (group, r, chunk), 1
         ) // rep
         row_g = jax.lax.broadcasted_iota(
-            jnp.int32, (group * hkv, r, chunk), 0
-        ) // hkv
-        lens_row = jnp.full((group * hkv, r, chunk), lens[0], jnp.int32)
+            jnp.int32, (group, r, chunk), 0
+        )
+        lens_row = jnp.full((group, r, chunk), lens[0], jnp.int32)
         for g in range(1, group):
             lens_row = jnp.where(row_g == g, lens[g], lens_row)
-        logits = jnp.where(pos <= lens_row + w_of_row, logits, -1e30)
+        dead = pos > lens_row + w_of_row                      # [G, R, C]
 
-        m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new[..., None])
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1)
-        m_scr[:] = m_new
-        pv = jax.lax.dot_general(
-            p * vs, vt,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[:] = acc_scr[:] * alpha[..., None] + pv
+        for h in range(hkv):
+            q_h = q_ref[:, h, :, :].astype(jnp.float32)       # [G, R, D]
+            k_h = k_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+            v_h = v_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+            ks_h = ks_ref[:, h, :][:, None, :]                # [G, 1, C]
+            vs_h = vs_ref[:, h, :][:, None, :]
+
+            logits = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (ks_h * inv)                                  # [G, R, C]
+            logits = jnp.where(dead, -1e30, logits)
+
+            m_prev = m_scr[h]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            l_scr[h] = alpha * l_scr[h] + jnp.sum(p, axis=-1)
+            m_scr[h] = m_new
+            pv = jax.lax.dot_general(
+                p * vs_h, v_h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[h] = acc_scr[h] * alpha[..., None] + pv
 
     @pl.when(c == n_chunks - 1)
     def _():
-        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)[..., None]
-        o_ref[:] = out.reshape(group, hkv, r, d).astype(o_ref.dtype)
+        for h in range(hkv):
+            out = acc_scr[h] / jnp.maximum(l_scr[h], 1e-30)[..., None]
+            o_ref[:, h, :, :] = out.astype(o_ref.dtype)
 
 
 def _flat_decode_attention(
@@ -587,9 +600,9 @@ def _flat_decode_attention(
         ],
         out_specs=pl.BlockSpec((group, hq, d), lambda i, c, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((group * hkv, rep), jnp.float32),
-            pltpu.VMEM((group * hkv, rep), jnp.float32),
-            pltpu.VMEM((group * hkv, rep, d), jnp.float32),
+            pltpu.VMEM((hkv, group, rep), jnp.float32),
+            pltpu.VMEM((hkv, group, rep), jnp.float32),
+            pltpu.VMEM((hkv, group, rep, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -655,9 +668,9 @@ def _flat_window_decode_attention(
         out_specs=pl.BlockSpec((group, hkv, r, d),
                                lambda i, c, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((group * hkv, r), jnp.float32),
-            pltpu.VMEM((group * hkv, r), jnp.float32),
-            pltpu.VMEM((group * hkv, r, d), jnp.float32),
+            pltpu.VMEM((hkv, group, r), jnp.float32),
+            pltpu.VMEM((hkv, group, r), jnp.float32),
+            pltpu.VMEM((hkv, group, r, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -725,9 +738,9 @@ def _flat_paged_decode_attention(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, c, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hkv, rep), jnp.float32),
-            pltpu.VMEM((hkv, rep), jnp.float32),
-            pltpu.VMEM((hkv, rep, d), jnp.float32),
+            pltpu.VMEM((hkv, 1, rep), jnp.float32),
+            pltpu.VMEM((hkv, 1, rep), jnp.float32),
+            pltpu.VMEM((hkv, 1, rep, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -786,9 +799,9 @@ def _flat_paged_window_decode_attention(
         ],
         out_specs=pl.BlockSpec((1, hkv, r, d), lambda i, c, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hkv, r), jnp.float32),
-            pltpu.VMEM((hkv, r), jnp.float32),
-            pltpu.VMEM((hkv, r, d), jnp.float32),
+            pltpu.VMEM((hkv, 1, r), jnp.float32),
+            pltpu.VMEM((hkv, 1, r), jnp.float32),
+            pltpu.VMEM((hkv, 1, r, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
